@@ -1,0 +1,24 @@
+"""beats_spark — a PySpark-native parse → enrich → route → aggregate engine.
+
+A from-scratch reimplementation of the query/data-processing capabilities of
+Elastic Beats (reference: mjwolf/beats, studied read-only) re-expressed in
+idiomatic Spark: DataFrame/SQL plans optimized by Catalyst, vectorized
+pandas/Arrow UDFs for pattern-bank parsing, broadcast hash joins for lookup
+enrichment, and first-match-wins routing compiled to `coalesce(when(...))`
+chains.
+
+Design notes (scale-first):
+- The unit of data is a DataFrame row per transcript turn/event, not a
+  per-event Go map (reference: libbeat/beat/event.go:52-62). Fixed StructType
+  columns make every operator vectorizable and codegen-able.
+- Conditions (libbeat/conditions/conditions.go:30-40) compile to Column
+  predicates, so Catalyst pushes them into the parquet/Iceberg scan.
+- Parsing (dissect/grok) compiles once per pattern bank to anchored regexes
+  executed via pandas `str.extract` over Arrow batches — no per-row Python.
+- Routing (libbeat/outputs/outil/select.go) compiles to a `_sink` column;
+  fan-out writes one filtered slice per sink in a single cached pass.
+"""
+
+__version__ = "0.1.0"
+
+from beats_spark.session import get_spark  # noqa: F401
