@@ -1,0 +1,199 @@
+"""Grok pattern-bank compiler.
+
+Beats ships grok patterns inside filebeat module ingest pipelines which
+Elasticsearch executes (e.g. reference
+/root/reference/filebeat/module/apache/access/ingest/pipeline.yml:10-18:
+a list of alternative grok expressions tried in order). We re-express that
+as a compiler: each `%{SYNTAX:semantic:type}` expression expands recursively
+against a pattern bank into ONE Python regex with named groups, executed
+vectorized with `pandas.Series.str.extract`; a bank of alternatives is
+coalesced first-match-wins, exactly like the ingest processor's pattern list.
+
+The builtin pattern table below is written from the publicly documented
+grok pattern semantics (logstash-patterns-core is Apache-2.0 public
+knowledge); it is a subset sufficient for log-line parsing, extensible via
+`pattern_definitions`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from beats_spark.dissect import _convert_series  # shared convert lattice
+
+# Builtin grok patterns (public grok semantics; subset + extensible).
+BUILTIN_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r"(?s:.*)",
+    "INT": r"[+-]?(?:[0-9]+)",
+    "NONNEGINT": r"\b[0-9]+\b",
+    "POSINT": r"\b[1-9][0-9]*\b",
+    "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
+    "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\w+)?",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "PATH": r"(?:/[^\s?#]*)+",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "MONTH": r"\b(?:[Jj]an(?:uary|uar)?|[Ff]eb(?:ruary|ruar)?|[Mm](?:a|ä)?r(?:ch|z)?|[Aa]pr(?:il)?|[Mm]a(?:y|i)?|[Jj]un(?:e|i)?|[Jj]ul(?:y|i)?|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|[Oo](?:c|k)?t(?:ober)?|[Nn]ov(?:ember)?|[Dd]e(?:c|z)(?:ember)?)\b",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "HTTPDATE": r"%{MONTHDAY}/%{MONTH}/%{YEAR}:%{TIME} %{INT}",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "QS": r"%{QUOTEDSTRING}",
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+    "SYSLOGPROG": r"%{PROG:process.name}(?:\[%{POSINT:process.pid:int}\])?",
+    "COMBINEDAPACHELOG": (
+        r"%{IPORHOST:source.address} %{USER:apache.access.user.identity} "
+        r"%{USER:user.name} \[%{HTTPDATE:apache.access.time}\] "
+        r"\"%{WORD:http.request.method} %{NOTSPACE:url.original} HTTP/%{NUMBER:http.version}\" "
+        r"%{INT:http.response.status_code:int} (?:%{INT:http.response.body.bytes:long}|-)"
+    ),
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.@\[\]]+))?(?::(\w+))?\}")
+
+_TYPE_MAP = {"int": "integer", "long": "long", "float": "float",
+             "double": "double", "boolean": "boolean", "string": "string"}
+
+
+class GrokError(ValueError):
+    pass
+
+
+class Grok:
+    """One compiled grok expression → named-group regex + typed field list."""
+
+    def __init__(
+        self,
+        expr: str,
+        pattern_definitions: dict[str, str] | None = None,
+        max_depth: int = 20,
+    ):
+        self.raw = expr
+        self.bank = dict(BUILTIN_PATTERNS)
+        if pattern_definitions:
+            self.bank.update(pattern_definitions)
+        self.fields: list[tuple[str, str]] = []  # (output name, convert type)
+        self._group_names: list[str] = []
+        compiled = self._expand(expr, depth=max_depth)
+        try:
+            self.pattern = re.compile(compiled)
+        except re.error as e:
+            raise GrokError(f"grok expression {expr!r} compiled to bad regex: {e}")
+
+    def _expand(self, expr: str, depth: int) -> str:
+        if depth <= 0:
+            raise GrokError(f"grok pattern recursion too deep in {self.raw!r}")
+
+        def repl(m: re.Match) -> str:
+            syntax, semantic, dtype = m.groups()
+            if syntax not in self.bank:
+                raise GrokError(f"unknown grok pattern %{{{syntax}}}")
+            inner = self._expand(self.bank[syntax], depth - 1)
+            if semantic:
+                gname = f"g{len(self._group_names)}"
+                self._group_names.append(gname)
+                self.fields.append((semantic, _TYPE_MAP.get(dtype or "string", "string")))
+                return f"(?P<{gname}>{inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(repl, expr)
+
+    @property
+    def output_keys(self) -> list[str]:
+        return [name for name, _ in self.fields]
+
+    def grok(self, s: str | None) -> dict | None:
+        """Scalar reference implementation (search semantics, like ingest grok)."""
+        if s is None:
+            return None
+        m = self.pattern.search(s)
+        if m is None:
+            return None
+        out = {}
+        for (name, dtype), gname in zip(self.fields, self._group_names):
+            v = m.group(gname)
+            if dtype != "string" and v is not None:
+                from beats_spark.dissect import _convert_scalar
+
+                v = _convert_scalar(v, dtype)
+            out[name] = v
+        return out
+
+    def grok_frame(self, s: pd.Series) -> pd.DataFrame:
+        """Vectorized extraction; unmatched rows are all-NaN."""
+        ext = s.astype("object").str.extract(self.pattern, expand=True)
+        out = pd.DataFrame(index=s.index)
+        for (name, dtype), gname in zip(self.fields, self._group_names):
+            col = ext[gname]
+            out[name] = _convert_series(col, dtype) if dtype != "string" else col
+        return out
+
+
+class GrokBank:
+    """Ordered list of alternative grok expressions — first match wins
+    (≅ the `patterns:` list of an ingest grok processor)."""
+
+    def __init__(self, exprs: list[str], pattern_definitions: dict[str, str] | None = None):
+        if not exprs:
+            raise GrokError("empty grok pattern list")
+        self.groks = [Grok(e, pattern_definitions) for e in exprs]
+        # union of output keys, first-appearance order
+        keys: list[str] = []
+        types: dict[str, str] = {}
+        for g in self.groks:
+            for name, dtype in g.fields:
+                if name not in keys:
+                    keys.append(name)
+                    types[name] = dtype
+        self.output_keys = keys
+        self.key_types = types
+
+    def grok_frame(self, s: pd.Series) -> pd.DataFrame:
+        out: pd.DataFrame | None = None
+        matched = pd.Series(False, index=s.index)
+        for g in self.groks:
+            todo = ~matched
+            if not todo.any():
+                break
+            sub = g.grok_frame(s[todo])
+            sub_matched = sub.notna().any(axis=1) | s[todo].str.contains(
+                g.pattern, na=False
+            )
+            if out is None:
+                out = pd.DataFrame(index=s.index, columns=self.output_keys, dtype="object")
+            hit = sub_matched[sub_matched].index
+            for k in g.output_keys:
+                out.loc[hit, k] = sub.loc[hit, k]
+            matched.loc[hit] = True
+        if out is None:
+            out = pd.DataFrame(index=s.index, columns=self.output_keys, dtype="object")
+        out["_grok_matched"] = matched
+        return out

@@ -1,0 +1,334 @@
+"""Parse operators: dissect, grok, decode_*, convert, timestamp.
+
+Each operator is a function DataFrame → DataFrame. Pattern-bank parsers
+(dissect/grok) run as Arrow-vectorized pandas UDFs returning a struct column
+— compiled once on the driver, shipped pickled to executors, executed with
+`pandas.Series.str.extract` per batch (no per-row Python). Everything else
+is built-in Column expressions (JVM-side, whole-stage codegen).
+
+Reference processors:
+- dissect: /root/reference/libbeat/processors/dissect/processor.go:34-148
+- grok: filebeat module ingest pipelines, e.g.
+  /root/reference/filebeat/module/apache/access/ingest/pipeline.yml:10-18
+- decode_json_fields: .../actions/decode_json_fields.go:51-186
+- decode_csv_fields: .../decode_csv_fields/decode_csv_fields.go:43-48
+- decode_base64_field: .../actions/decode_base64_field.go:45-47
+- decode_duration: .../decode_duration/decode_duration.go:40-41
+- urldecode: .../urldecode/urldecode.go:40-47
+- extract_field: .../actions/extract_field.go:50-53
+- extract_array: .../extract_array/extract_array.go:37-42
+- timestamp: .../timestamp/timestamp.go:160-167
+- convert: .../convert/config.go:35-103
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beats_spark.dissect import Dissector
+from beats_spark.grok import GrokBank
+
+# flag appended on parse failure (reference FlagField handling,
+# libbeat/beat/event.go:38 + dissect/processor.go:95-105)
+DISSECT_FAIL_FLAG = "dissect_parsing_error"
+GROK_FAIL_FLAG = "grok_parsing_error"
+FLAGS_COL = "flags"
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "ip": T.StringType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+def _safe(name: str) -> str:
+    """Struct field names: ECS dot-paths become underscore names."""
+    return name.replace(".", "_").replace("@", "_").replace("[", "_").replace("]", "")
+
+
+def add_flag(df: DataFrame, cond: Column, flag: str) -> DataFrame:
+    """Append `flag` to the flags array where cond holds (creates the column
+    if absent) — ≅ mapstr.AddTagsWithKey on log.flags."""
+    base = (
+        F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>"))
+        if FLAGS_COL in df.columns
+        else F.array().cast("array<string>")
+    )
+    return df.withColumn(
+        FLAGS_COL,
+        F.when(cond, F.array_union(base, F.array(F.lit(flag)))).otherwise(base),
+    )
+
+
+# -- dissect ------------------------------------------------------------------
+
+
+def dissect(
+    df: DataFrame,
+    tokenizer: str,
+    field: str = "message",
+    target_prefix: str = "dissect",
+    trim_values: str = "none",
+    trim_chars: str = " ",
+    flag_failures: bool = True,
+) -> DataFrame:
+    """Apply a dissect tokenizer to `field`, emitting a struct column
+    `target_prefix` with the tokenizer's static schema. Failed rows get a
+    null struct and the dissect_parsing_error flag."""
+    d = Dissector(tokenizer, trim_values=trim_values, trim_chars=trim_chars)
+    if d.dynamic:
+        return _dissect_dynamic(df, d, field, target_prefix, flag_failures)
+
+    schema = T.StructType(
+        [T.StructField(_safe(k), _SPARK_TYPES[d.key_types[k]], True) for k in d.static_keys]
+    )
+    rename = {k: _safe(k) for k in d.static_keys}
+
+    @F.pandas_udf(schema)
+    def run(s):  # executed per Arrow batch; regex pre-compiled in `d`
+        frame = d.dissect_frame(s)
+        return frame.rename(columns=rename)
+
+    out = df.withColumn(target_prefix, run(F.col(field)))
+    # all-null struct ⇒ parse failed (static keys always non-null on success —
+    # extracted values are at minimum empty strings)
+    first = _safe(d.static_keys[0])
+    failed = F.col(f"{target_prefix}.{first}").isNull()
+    out = out.withColumn(
+        target_prefix, F.when(~failed, F.col(target_prefix))
+    )
+    if flag_failures:
+        out = add_flag(out, failed, DISSECT_FAIL_FLAG)
+    return out
+
+
+def _dissect_dynamic(df, d: Dissector, field, target_prefix, flag_failures) -> DataFrame:
+    """Pointer/indirect tokenizers have data-dependent keys → MapType output."""
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def run(s):
+        return s.map(
+            lambda v: None
+            if (r := d.dissect(v)) is None
+            else {k: None if x is None else str(x) for k, x in r.items()}
+        )
+
+    out = df.withColumn(target_prefix, run(F.col(field)))
+    if flag_failures:
+        out = add_flag(out, F.col(target_prefix).isNull(), DISSECT_FAIL_FLAG)
+    return out
+
+
+# -- grok ---------------------------------------------------------------------
+
+
+def grok(
+    df: DataFrame,
+    patterns: list[str] | str,
+    field: str = "message",
+    target_prefix: str = "grok",
+    pattern_definitions: dict[str, str] | None = None,
+    flag_failures: bool = True,
+) -> DataFrame:
+    """Apply an ordered grok pattern bank (first match wins) to `field`."""
+    bank = GrokBank(
+        [patterns] if isinstance(patterns, str) else list(patterns),
+        pattern_definitions,
+    )
+    fields = [
+        T.StructField(_safe(k), _SPARK_TYPES[bank.key_types[k]], True)
+        for k in bank.output_keys
+    ] + [T.StructField("_matched", T.BooleanType(), False)]
+    schema = T.StructType(fields)
+    rename = {k: _safe(k) for k in bank.output_keys}
+    rename["_grok_matched"] = "_matched"
+
+    @F.pandas_udf(schema)
+    def run(s):
+        return bank.grok_frame(s).rename(columns=rename)
+
+    out = df.withColumn(target_prefix, run(F.col(field)))
+    out = out.withColumn(
+        "_grok_failed",
+        ~F.coalesce(F.col(f"{target_prefix}._matched"), F.lit(False)),
+    )
+    out = out.withColumn(
+        target_prefix,
+        F.when(~F.col("_grok_failed"), F.col(target_prefix).dropFields("_matched")),
+    )
+    if flag_failures:
+        out = add_flag(out, F.col("_grok_failed"), GROK_FAIL_FLAG)
+    return out.drop("_grok_failed")
+
+
+# -- decoders (all built-in expressions) ---------------------------------------
+
+
+def decode_json_fields(
+    df: DataFrame,
+    fields: list[str] | str,
+    schema: str | T.DataType = "map<string,string>",
+    target: str | None = None,
+    flag_failures: bool = False,
+) -> DataFrame:
+    """from_json on each listed string field. Default schema is the dynamic
+    map<string,string> shape (≅ schemaless decode); pass a DDL string for a
+    declared shape. target=None decodes in place."""
+    fields = [fields] if isinstance(fields, str) else fields
+    out = df
+    for f in fields:
+        tgt = target if (target and len(fields) == 1) else f
+        decoded = F.from_json(F.col(f), schema)
+        out = out.withColumn(tgt, decoded)
+        if flag_failures:
+            out = add_flag(out, F.col(tgt).isNull() & F.col(f).isNotNull(),
+                           "json_decode_error")
+    return out
+
+
+def decode_csv_fields(
+    df: DataFrame, field: str, target: str, separator: str = ","
+) -> DataFrame:
+    """RFC-4180-ish split → array<string>. For quoted-field support pass the
+    result through from_csv with a declared schema instead."""
+    return df.withColumn(target, F.split(F.col(field), re_escape(separator)))
+
+
+def re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def decode_base64_field(df: DataFrame, field: str, target: str) -> DataFrame:
+    return df.withColumn(target, F.unbase64(F.col(field)).cast("string"))
+
+
+def urldecode(df: DataFrame, field: str, target: str | None = None) -> DataFrame:
+    return df.withColumn(target or field, F.url_decode(F.col(field)))
+
+
+def extract_field(
+    df: DataFrame, field: str, separator: str, index: int, target: str
+) -> DataFrame:
+    """Split by separator, take i-th token (extract_field.go:50-53)."""
+    return df.withColumn(
+        target, F.split(F.col(field), re_escape(separator)).getItem(index)
+    )
+
+
+def extract_array(
+    df: DataFrame, field: str, mappings: dict[str, int]
+) -> DataFrame:
+    """Array elements → named fields (extract_array.go:37-42)."""
+    out = df
+    for name, idx in mappings.items():
+        out = out.withColumn(name, F.col(field).getItem(idx))
+    return out
+
+
+def decode_duration(
+    df: DataFrame, field: str, target: str, unit: str = "ms"
+) -> DataFrame:
+    """Parse Go-style durations like '1h30m0.5s' into a number of `unit`.
+
+    Pure Column arithmetic: extract each unit component, weight, and sum.
+    """
+    scale = {"ns": 1, "us": 1e3, "ms": 1e6, "s": 1e9, "m": 6e10, "h": 3.6e12}
+    if unit not in scale:
+        raise ValueError(f"bad duration unit {unit!r}")
+    c = F.col(field)
+    ns = F.lit(0.0)
+    for suffix, mult in [("h", 3.6e12), ("m", 6e10), ("s", 1e9),
+                         ("ms", 1e6), ("us", 1e3), ("ns", 1.0)]:
+        # component regex: number directly followed by this exact suffix
+        if suffix == "m":
+            pat = r"(\d+(?:\.\d+)?)m(?![s])"
+        elif suffix == "s":
+            pat = r"(?<![mun])(\d+(?:\.\d+)?)s"
+        else:
+            pat = rf"(\d+(?:\.\d+)?){suffix}(?![a-z])" if suffix != "ns" else r"(\d+(?:\.\d+)?)ns"
+        comp = F.regexp_extract(c, pat, 1)
+        ns = ns + F.when(comp == "", F.lit(0.0)).otherwise(comp.cast("double")) * F.lit(mult)
+    return df.withColumn(target, ns / F.lit(scale[unit]))
+
+
+# -- timestamp / convert --------------------------------------------------------
+
+# Go reference layout fragments → JDK DateTimeFormatter pattern fragments
+_GO_TO_JAVA = [
+    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("04", "mm"), ("05", "ss"), (".999999999", ".SSSSSSSSS"),
+    (".999999", ".SSSSSS"), (".999", ".SSS"), ("Jan", "MMM"), ("Mon", "EEE"),
+    ("Z07:00", "XXX"), ("-07:00", "xxx"), ("Z0700", "XX"), ("-0700", "xx"),
+    ("MST", "zzz"), ("PM", "a"), ("03", "hh"), ("06", "yy"),
+]
+
+
+def go_layout_to_java(layout: str) -> str:
+    out = layout
+    for go, java in _GO_TO_JAVA:
+        out = out.replace(go, java)
+    return out
+
+
+def timestamp(
+    df: DataFrame,
+    field: str,
+    layouts: list[str],
+    target: str = "ts",
+    timezone: str | None = None,
+) -> DataFrame:
+    """Parse a time string with ordered layouts (Go layouts or UNIX/UNIX_MS),
+    first successful parse wins — ≅ the timestamp processor
+    (timestamp/timestamp.go:160-167)."""
+    c = F.col(field)
+    attempts = []
+    for layout in layouts:
+        if layout == "UNIX":
+            attempts.append(F.timestamp_seconds(c.try_cast("double")))
+        elif layout == "UNIX_MS":
+            attempts.append(F.timestamp_millis(c.try_cast("long")))
+        else:
+            attempts.append(F.try_to_timestamp(c, F.lit(go_layout_to_java(layout))))
+    ts = F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+    if timezone:
+        ts = F.to_utc_timestamp(ts, timezone)
+    return df.withColumn(target, ts)
+
+
+def convert(
+    df: DataFrame,
+    fields: list[dict],
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+) -> DataFrame:
+    """Cast fields per the convert type lattice (convert/config.go:59-103).
+
+    fields: [{"from": col, "to": optional target, "type": spark-castable}]
+    type 'ip' validates IPv4 dotted-quad and nulls invalid values.
+    """
+    out = df
+    for spec in fields:
+        src, tgt = spec["from"], spec.get("to", spec["from"])
+        typ = spec.get("type", "string")
+        c = F.col(src)
+        if typ == "ip":
+            octet = r"(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+            casted = F.when(c.rlike(rf"^{octet}(?:\.{octet}){{3}}$"), c)
+        elif typ in ("integer", "long"):
+            casted = c.try_cast("long" if typ == "long" else "int")
+        elif typ in ("float", "double"):
+            casted = c.try_cast(typ)
+        elif typ == "boolean":
+            casted = c.try_cast("boolean")
+        else:
+            casted = c.cast("string")
+        out = out.withColumn(tgt, casted)
+    return out

@@ -1,0 +1,123 @@
+"""Spark-side parse operator tests over the derived transcript table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.data.transcripts import load_transcripts
+from beats_spark.operators import parse as P
+
+from .conftest import SF_SMOKE
+
+LOGFMT_TOK = 'level=%{level} ts=%{ts} caller=%{caller} msg="%{msg}" value=%{value|long} took=%{took}ms'
+APACHE_GROK = (
+    r"%{IPV4:client.ip} %{USER:ident} %{USER:auth} \[%{TIMESTAMP_ISO8601:time}\] "
+    r'"%{WORD:method} %{URIPATH:path} HTTP/%{NUMBER:version}" '
+    r"%{INT:status:int} %{INT:size:long}"
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return load_transcripts(spark, SF_SMOKE).cache()
+
+
+def test_dissect_logfmt(tdf):
+    logfmt = tdf.filter(F.col("text").startswith("level="))
+    out = P.dissect(logfmt, LOGFMT_TOK, field="text", target_prefix="parsed")
+    n = logfmt.count()
+    parsed = out.filter(F.col("parsed").isNotNull())
+    assert parsed.count() == n  # every logfmt row parses
+    row = parsed.select("parsed.*").first()
+    assert row.level in ("INFO", "WARN", "ERROR")
+    assert isinstance(row.value, int)
+    assert row.took.isdigit()
+    # no failure flags on this slice
+    assert out.filter(F.array_contains("flags", P.DISSECT_FAIL_FLAG)).count() == 0
+
+
+def test_dissect_flags_failures(tdf):
+    out = P.dissect(tdf, LOGFMT_TOK, field="text", target_prefix="parsed")
+    failed = out.filter(F.array_contains("flags", P.DISSECT_FAIL_FLAG))
+    ok = out.filter(F.col("parsed").isNotNull())
+    assert failed.count() + ok.count() == tdf.count()
+    # corrupt rows always fail
+    assert (
+        failed.filter(F.col("text").startswith("!!corrupt")).count()
+        == tdf.filter(F.col("text").startswith("!!corrupt")).count()
+    )
+
+
+def test_grok_apache(tdf):
+    apache = tdf.filter(F.col("text").startswith("10.0."))
+    out = P.grok(apache, APACHE_GROK, field="text", target_prefix="g")
+    assert out.filter(F.col("g").isNull()).count() == 0
+    row = out.select("g.*").first()
+    assert row.client_ip.startswith("10.0.")
+    assert row.status in (200, 301, 500)
+    assert isinstance(row.size, int)
+    assert row.method == "GET"
+
+
+def test_grok_bank_first_match_wins(tdf):
+    out = P.grok(
+        tdf,
+        [APACHE_GROK, r"level=%{LOGLEVEL:level} %{GREEDYDATA:rest}",
+         r"user %{INT:uid:long} did %{WORD:action}"],
+        field="text",
+        target_prefix="g",
+    )
+    # all three template families parse; only corrupt rows fail
+    failed = out.filter(F.col("g").isNull())
+    assert failed.count() == tdf.filter(F.col("text").startswith("!!corrupt")).count()
+    # apache rows must have been claimed by pattern 1, not the others
+    apache = out.filter(F.col("text").startswith("10.0.")).select("g.*").first()
+    assert apache.client_ip is not None and apache.level is None
+
+
+def test_decode_json_fields(tdf):
+    plain = tdf.filter(F.col("text").startswith("user "))
+    step = P.dissect(plain, "user %{uid|long} did %{action} with props %{props}",
+                     field="text", target_prefix="p")
+    step = step.withColumn("props_raw", F.col("p.props"))
+    out = P.decode_json_fields(step, "props_raw", target="props")
+    row = out.select("props").first()
+    assert row.props["k"] is not None and row.props["k"].isdigit()
+
+
+def test_timestamp_parse(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05 06:07:08",), ("1709618828",), ("bogus",)], "raw string"
+    )
+    out = P.timestamp(df, "raw", ["2006-01-02 15:04:05", "UNIX"], target="t")
+    rows = out.select("t").collect()
+    assert rows[0].t.year == 2024
+    assert rows[1].t.year == 2024
+    assert rows[2].t is None
+
+
+def test_convert_and_ip_validation(spark):
+    df = spark.createDataFrame(
+        [("42", "10.0.0.1"), ("x", "999.999.1.1")], "n string, ip string"
+    )
+    out = P.convert(df, [{"from": "n", "to": "n_int", "type": "long"},
+                         {"from": "ip", "type": "ip"}])
+    rows = out.collect()
+    assert rows[0].n_int == 42 and rows[0].ip == "10.0.0.1"
+    assert rows[1].n_int is None and rows[1].ip is None
+
+
+def test_decode_duration(spark):
+    df = spark.createDataFrame([("1h30m",), ("250ms",), ("2s",)], "d string")
+    out = df.transform(lambda d: P.decode_duration(d, "d", "ms_val", unit="ms"))
+    vals = [r.ms_val for r in out.collect()]
+    assert vals == [5400000.0, 250.0, 2000.0]
+
+
+def test_extract_and_base64(spark):
+    df = spark.createDataFrame([("a-b-c", "aGVsbG8=")], "s string, b string")
+    out = P.extract_field(df, "s", "-", 1, "tok")
+    out = P.decode_base64_field(out, "b", "decoded")
+    row = out.first()
+    assert row.tok == "b" and row.decoded == "hello"
