@@ -1,0 +1,128 @@
+"""Routing — the selector compiler and multi-sink fan-out.
+
+Reimplements Beats' output selector (reference:
+/root/reference/libbeat/outputs/outil/select.go:107-176 build,
+341-354 first-match-wins evaluation) as ONE Column expression:
+
+    _sink = coalesce(
+        nullif(when(cond_1, fmt_1), ''),
+        nullif(when(cond_2, fmt_2), ''),
+        ...,
+        lit(default))
+
+Key properties preserved:
+- ordered rules, first rule producing a non-empty key wins
+  (ConcatSelectorExpr, select.go:208-212);
+- format-string keys `%{[field]}` render from event fields
+  (fmtstr/formatevents.go:35-44); a null field ⇒ rule yields no key ⇒
+  fall through (F.concat propagates null);
+- optional `mappings:` table with `default:` (select.go:225-249);
+- events with no key and no default are dropped (ES client behavior,
+  elasticsearch/client.go:395-422) — or routed to a dead-letter sink.
+
+Because the selector is a Column expression, Catalyst constant-folds
+rules whose format string has no field references — the same optimization
+the reference does by hand with constSelector (select.go:193-206).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition
+
+SINK_COL = "_sink"
+DEAD_LETTER = "deadletter"
+
+_FMT_REF = re.compile(r"%\{\[?([\w.\]\[]+?)\]?\}")
+
+
+def compile_format(fmt: str) -> Column:
+    """`"idx-%{[role]}-%{[tool]}"` → concat of lits and string-cast columns.
+
+    Null field value ⇒ whole result null (rule fallthrough), matching the
+    reference where a missing field fails the format string render.
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in _FMT_REF.finditer(fmt):
+        if m.start() > pos:
+            parts.append(F.lit(fmt[pos : m.start()]))
+        field = m.group(1).replace("][", ".").strip("[]")
+        parts.append(F.col(field).cast("string"))
+        pos = m.end()
+    if pos < len(fmt):
+        parts.append(F.lit(fmt[pos:]))
+    if not parts:
+        return F.lit("")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def compile_selector(
+    df: DataFrame,
+    rules: list[dict],
+    default: str | None = None,
+) -> Column:
+    """rules: ordered [{key: fmt, when: cond-cfg?, mappings: {v: sink}?,
+    mapping_default: str?}] → first-match-wins sink Column."""
+    attempts: list[Column] = []
+    for rule in rules:
+        expr = compile_format(rule["key"])
+        if "mappings" in rule:
+            m = rule["mappings"]
+            pairs = [p for kv in m.items() for p in (F.lit(kv[0]), F.lit(kv[1]))]
+            mapped = F.create_map(*pairs)[expr]
+            if "mapping_default" in rule:
+                mapped = F.coalesce(mapped, F.lit(rule["mapping_default"]))
+            expr = mapped
+        if "when" in rule:
+            expr = F.when(compile_condition(rule["when"], df), expr)
+        # empty string ⇒ fall through to the next rule (select.go:341-354)
+        attempts.append(F.nullif(expr, F.lit("")))
+    if default is not None:
+        attempts.append(F.lit(default))
+    return F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+
+
+def route(
+    df: DataFrame,
+    rules: list[dict],
+    default: str | None = None,
+    target: str = SINK_COL,
+    drop_unrouted: bool = True,
+) -> DataFrame:
+    """Attach the sink column; optionally drop events no rule claimed."""
+    out = df.withColumn(target, compile_selector(df, rules, default))
+    if drop_unrouted and default is None:
+        out = out.filter(F.col(target).isNotNull())
+    return out
+
+
+def fan_out(
+    df: DataFrame,
+    base_path: str,
+    target: str = SINK_COL,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write every sink in ONE pass via partitionBy(_sink).
+
+    This is the scale-critical choice: N separate `filter(sink==s).write`
+    passes re-scan the input N times; `partitionBy` shuffles nothing and
+    splits writers per partition value. At 10^12 rows each sink directory is
+    an independent dataset (≅ per-sink Iceberg tables; swap `.format("iceberg")
+    .writeTo(table)` per sink in production).
+    """
+    (
+        df.write.partitionBy(target)
+        .format(file_format)
+        .mode(mode)
+        .save(base_path)
+    )
+
+
+def sink_names(df: DataFrame, target: str = SINK_COL) -> list[str]:
+    return [r[0] for r in df.select(target).distinct().collect()]
