@@ -268,6 +268,8 @@ _GO_TO_JAVA = [
     (".999999", ".SSSSSS"), (".999", ".SSS"), ("Jan", "MMM"), ("Mon", "EEE"),
     ("Z07:00", "XXX"), ("-07:00", "xxx"), ("Z0700", "XX"), ("-0700", "xx"),
     ("MST", "zzz"), ("PM", "a"), ("03", "hh"), ("06", "yy"),
+    # bare literal letters in Go layouts must be quoted for JDK patterns
+    ("T", "'T'"),
 ]
 
 

@@ -1,0 +1,490 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair for the driver's correctness harness.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame; the oracle
+is ANSI/DuckDB SQL over the same parquet views (``events documents embeddings``
+etc. are pre-registered). Both sides share single sources of truth:
+
+- the transcript derivation (`beats_spark.data.transcripts.transcripts_select`)
+  is dialect-portable SQL;
+- grok/dissect pattern banks compile to ONE regex reused verbatim in the
+  DuckDB oracle (`grok_extract_sql`) — RE2 and Python `re` agree on the
+  pattern subset we emit (no lookaround, no backrefs);
+- the condition DSL renders to SQL via `beats_spark.conditions.condition_sql`;
+- lookup tables render to VALUES clauses (`beats_spark.data.lookups`).
+
+Output hygiene for value-hash comparison: no raw TIMESTAMP columns (rendered
+to ISO strings on both sides), sums cast to BIGINT (DuckDB sums int→HUGEINT),
+every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import condition_sql
+from beats_spark.data.lookups import (
+    role_lookup_df,
+    role_lookup_sql,
+    tool_lookup_df,
+    tool_lookup_sql,
+)
+from beats_spark.data.transcripts import load_transcripts, oracle_cte
+from beats_spark.grok import Grok
+from beats_spark.operators import enrich as E
+from beats_spark.operators import filter as FL
+from beats_spark.pipeline import (
+    ROUTING_RULES,
+    TRANSCRIPT_PATTERNS,
+    conv_rollups,
+    full_pipeline,
+    parse_stage,
+    sink_aggregates,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments
+# --------------------------------------------------------------------------
+
+ISO = "strftime({col}, '%Y-%m-%dT%H:%M:%S')"  # DuckDB ISO-second render
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def grok_extract_sql(expr: str, text_col: str = "text") -> dict[str, str]:
+    """Compile a grok expression and render each output field as a DuckDB
+    regexp_extract fragment using the IDENTICAL compiled regex the Spark
+    pandas UDF executes. Returns {field_name: sql_fragment}."""
+    g = Grok(expr)
+    pat = g.pattern.pattern
+    idx = g.pattern.groupindex  # gname -> capture group number
+    out: dict[str, str] = {}
+    casts = {"integer": "INTEGER", "long": "BIGINT", "float": "REAL",
+             "double": "DOUBLE", "boolean": "BOOLEAN"}
+    for (name, dtype), gname in zip(g.fields, g._group_names):
+        frag = (f"CASE WHEN regexp_matches({text_col}, {_q(pat)}) "
+                f"THEN regexp_extract({text_col}, {_q(pat)}, {idx[gname]}) END")
+        if dtype in casts:
+            frag = f"CAST({frag} AS {casts[dtype]})"
+        out[name] = frag
+    return out
+
+
+def _sink_case_sql() -> str:
+    """The ROUTING_RULES selector as first-match-wins SQL CASE — must stay in
+    sync with beats_spark.pipeline.ROUTING_RULES."""
+    return (
+        "CASE WHEN contains(text, '!!corrupt') THEN 'deadletter' "
+        "WHEN role = 'tool' THEN 'sink-tools' "
+        "WHEN regexp_matches(text, '(level=ERROR|\" 500 )') THEN 'sink-errors' "
+        "ELSE 'events-' || role END"
+    )
+
+
+_TOOL_CALL_SQL = (
+    "CASE WHEN tool IS NOT NULL AND tool <> '' AND tool <> 'none' "
+    "THEN 1 ELSE 0 END"
+)
+
+
+def _tool_call_col():
+    return F.when(
+        F.col("tool").isNotNull() & (F.col("tool") != "") & (F.col("tool") != "none"), 1
+    ).otherwise(0)
+
+
+# --------------------------------------------------------------------------
+# 1. the transcript derivation itself (per-turn text equality invariant)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "transcripts",
+    oracle_cte()
+    + f"""
+SELECT conv_id, turn_idx, role, text, coalesce(tool, '<null>') AS tool,
+       {ISO.format(col='ts')} AS ts_iso
+FROM transcripts
+""",
+)
+def q_transcripts(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.coalesce("tool", F.lit("<null>")).alias("tool"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts_iso"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. grok parse stage (pattern bank, first-match-wins, typed extraction)
+# --------------------------------------------------------------------------
+
+
+def _grok_bank_oracle() -> str:
+    """First-match-wins across the three transcript patterns, field-by-field."""
+    banks = [grok_extract_sql(p) for p in TRANSCRIPT_PATTERNS]
+    pats = [Grok(p).pattern.pattern for p in TRANSCRIPT_PATTERNS]
+    match = [f"regexp_matches(text, {_q(p)})" for p in pats]
+    # a field belongs to exactly one pattern in our bank except event_time
+    # (patterns 0 and 1) — first match wins
+    all_fields: list[str] = []
+    per_field: dict[str, list[tuple[int, str]]] = {}
+    for i, bank in enumerate(banks):
+        for name, frag in bank.items():
+            if name not in per_field:
+                per_field[name] = []
+                all_fields.append(name)
+            per_field[name].append((i, frag))
+    sel = []
+    for name in all_fields:
+        # value from the FIRST pattern that matches this row and owns the
+        # field; guarded so later patterns don't fire when an earlier
+        # pattern already matched (bank is first-match-wins)
+        cases = []
+        for i, frag in per_field[name]:
+            prior = [match[j] for j in range(i)]
+            guard = (
+                f"({match[i]} AND NOT ({' OR '.join(prior)}))" if prior else match[i]
+            )
+            cases.append(f"WHEN {guard} THEN {frag}")
+        sel.append(f"CASE {' '.join(cases)} END AS {name}")
+    matched_any = " OR ".join(match)
+    return (
+        oracle_cte()
+        + "\nSELECT conv_id, turn_idx, "
+        + ", ".join(sel)
+        + f", ({matched_any}) AS grok_matched FROM transcripts"
+    )
+
+
+@register("grok_parse", _grok_bank_oracle())
+def q_grok_parse(spark, sf_dir):
+    t = parse_stage(load_transcripts(spark, sf_dir))
+    field_names = [f.name for f in t.schema["parsed"].dataType.fields]
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        *[F.col(f"parsed.{n}").alias(n) for n in field_names],
+        F.array_contains(
+            F.coalesce(F.col("flags"), F.array().cast("array<string>")),
+            "grok_parsing_error",
+        ).alias("grok_failed"),
+    ).withColumn("grok_matched", ~F.col("grok_failed")).drop("grok_failed")
+
+
+# --------------------------------------------------------------------------
+# 3. routing selector (first-match-wins fan-out key)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "route_counts",
+    oracle_cte()
+    + f"""
+SELECT {_sink_case_sql()} AS sink, count(*) AS n_rows,
+       count(DISTINCT conv_id) AS n_convs
+FROM transcripts GROUP BY 1
+""",
+)
+def q_route_counts(spark, sf_dir):
+    routed = full_pipeline(spark, sf_dir)
+    return routed.groupBy(F.col("_sink").alias("sink")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+@register(
+    "sink_aggregates",
+    oracle_cte()
+    + f"""
+SELECT {_sink_case_sql()} AS _sink, role,
+       count(*) AS turn_count,
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_call_count,
+       count(DISTINCT conv_id) AS n_convs
+FROM transcripts GROUP BY 1, 2
+""",
+)
+def q_sink_aggregates(spark, sf_dir):
+    return sink_aggregates(full_pipeline(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# 4. conversation rollups (window over conv_id ordered by turn_idx)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "conv_rollups",
+    oracle_cte()
+    + f"""
+SELECT conv_id, count(*) AS n_turns,
+       {ISO.format(col='min(ts)')} AS first_ts,
+       {ISO.format(col='max(ts)')} AS last_ts,
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS total_tool_calls
+FROM transcripts GROUP BY conv_id
+""",
+)
+def q_conv_rollups(spark, sf_dir):
+    r = conv_rollups(load_transcripts(spark, sf_dir))
+    return r.select(
+        "conv_id",
+        "n_turns",
+        F.date_format("first_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("first_ts"),
+        F.date_format("last_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("last_ts"),
+        "total_tool_calls",
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. enrich: broadcast lookup joins (translate / cache-get shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "enrich_translate",
+    oracle_cte()
+    + f"""
+SELECT role_group, tool_kind, billable, count(*) AS n,
+       CAST(sum(priority) AS BIGINT) AS priority_sum
+FROM (
+  SELECT coalesce(role_lookup.role_group, 'unknown') AS role_group,
+         coalesce(role_lookup.priority, 0) AS priority,
+         coalesce(tool_lookup.tool_kind, 'none') AS tool_kind,
+         coalesce(tool_lookup.billable, FALSE) AS billable
+  FROM transcripts t
+  LEFT JOIN {role_lookup_sql()} ON t.role = role_lookup.role
+  LEFT JOIN {tool_lookup_sql()} ON t.tool = tool_lookup.tool
+)
+GROUP BY 1, 2, 3
+""",
+)
+def q_enrich_translate(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    t = E.translate(t, role_lookup_df(spark), "role",
+                    defaults={"role_group": "unknown", "priority": 0})
+    t = E.translate(t, tool_lookup_df(spark), "tool",
+                    defaults={"tool_kind": "none", "billable": False})
+    return t.groupBy("role_group", "tool_kind", "billable").agg(
+        F.count("*").alias("n"),
+        F.sum("priority").alias("priority_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. condition DSL (drop_event / keep_event with composite conditions)
+# --------------------------------------------------------------------------
+
+_COND = {
+    "and": [
+        {"or": [
+            {"equals": {"role": "assistant"}},
+            {"contains": {"text": "level="}},
+        ]},
+        {"not": {"regexp": {"text": "corrupt"}}},
+        {"range": {"turn_idx": {"gte": 1, "lt": 40}}},
+    ]
+}
+
+
+@register(
+    "condition_filter",
+    oracle_cte()
+    + f"""
+SELECT role, count(*) AS n FROM transcripts
+WHERE {condition_sql(_COND)}
+GROUP BY role
+""",
+)
+def q_condition_filter(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return FL.keep_event(t, _COND).groupBy("role").agg(F.count("*").alias("n"))
+
+
+@register(
+    "drop_event",
+    oracle_cte()
+    + f"""
+SELECT count(*) AS kept FROM transcripts
+WHERE NOT {condition_sql({"contains": {"text": "!!corrupt"}})}
+""",
+)
+def q_drop_event(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return FL.drop_event(t, {"contains": {"text": "!!corrupt"}}).agg(
+        F.count("*").alias("kept")
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. include/exclude lines (scan-level regex filters)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "exclude_lines",
+    oracle_cte()
+    + """
+SELECT role, count(*) AS n FROM transcripts
+WHERE NOT coalesce(regexp_matches(text, 'corrupt|level=DEBUG'), FALSE)
+GROUP BY role
+""",
+)
+def q_exclude_lines(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return FL.exclude_lines(t, ["corrupt|level=DEBUG"]).groupBy("role").agg(
+        F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. fingerprint / add_id (deterministic hashing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "fingerprint",
+    oracle_cte()
+    + """
+SELECT count(DISTINCT fp) AS distinct_fps, count(*) AS n_rows,
+       min(fp) AS min_fp, max(fp) AS max_fp
+FROM (SELECT sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS fp
+      FROM transcripts)
+""",
+)
+def q_fingerprint(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    fp = E.fingerprint(t, ["conv_id", "turn_idx"], target="fp")
+    return fp.agg(
+        F.countDistinct("fp").alias("distinct_fps"),
+        F.count("*").alias("n_rows"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. ratelimit (keyed windowed top-N; counts are order-insensitive)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ratelimit",
+    oracle_cte()
+    + """
+SELECT conv_id, CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       count(*) AS total
+FROM (
+  SELECT conv_id,
+         row_number() OVER (
+           PARTITION BY time_bucket(INTERVAL '1 hour', ts), conv_id
+           ORDER BY ts, conv_id) AS rn
+  FROM transcripts
+)
+GROUP BY conv_id
+""",
+)
+def q_ratelimit(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    kept = FL.ratelimit(t, 3, ["conv_id"], window="1 hour").groupBy("conv_id").agg(
+        F.count("*").alias("kept")
+    )
+    total = t.groupBy("conv_id").agg(F.count("*").alias("total"))
+    return kept.join(total, "conv_id")
+
+
+# --------------------------------------------------------------------------
+# 10. flows-style tumbling-window aggregation (packetbeat flows analogue)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flows_window",
+    oracle_cte()
+    + f"""
+SELECT {ISO.format(col="time_bucket(INTERVAL '1 hour', ts)")} AS window_start,
+       role, count(*) AS n_events, count(DISTINCT conv_id) AS n_convs,
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls
+FROM transcripts GROUP BY 1, 2
+""",
+)
+def q_flows_window(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(_tool_call_col()).alias("tool_calls"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+            "role", "n_events", "n_convs", "tool_calls",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 11. convert / timestamp re-parse (extracted event_time string → timestamp)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "timestamp_parse",
+    oracle_cte()
+    + f"""
+SELECT count(*) AS n_parsed,
+       min({ISO.format(col='parsed_ts')}) AS min_ts,
+       max({ISO.format(col='parsed_ts')}) AS max_ts
+FROM (
+  SELECT CAST(regexp_extract(text,
+      'ts=(\\d{{4}}-\\d{{2}}-\\d{{2}}T\\d{{2}}:\\d{{2}}:\\d{{2}})', 1) AS TIMESTAMP)
+      AS parsed_ts
+  FROM transcripts
+  WHERE regexp_matches(text, '^level=')
+)
+""",
+)
+def q_timestamp_parse(spark, sf_dir):
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir).filter(F.col("text").rlike("^level="))
+    t = t.withColumn(
+        "event_time_str",
+        F.regexp_extract("text", r"ts=(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})", 1),
+    )
+    t = P.timestamp(t, "event_time_str", ["2006-01-02T15:04:05"], target="parsed_ts")
+    return t.agg(
+        F.count("*").alias("n_parsed"),
+        F.date_format(F.min("parsed_ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("parsed_ts"), "yyyy-MM-dd'T'HH:mm:ss").alias("max_ts"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,114 @@
+"""Benchmark runner.
+
+Default mode: runs the headline end-to-end pipeline (parse → enrich → route →
+fan-out write → aggregate) plus every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "turns_per_sec": ...}
+
+Scaling mode (`python bench.py --scaling`): re-executes the headline pipeline
+in two fresh subprocesses at local[8] and local[32] over the SAME input and
+reports throughput at both plus scaling efficiency — the sandbox stand-in for
+the north rule's N vs 4N executor criterion (no real cluster available; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_headline(spark, sf_dir: str) -> tuple[float, int]:
+    """End-to-end: scan → parse → enrich → route → per-sink fan-out write +
+    per-sink aggregates + conv rollups. Returns (seconds, turns)."""
+    from beats_spark.pipeline import (
+        conv_rollups,
+        full_pipeline,
+        sink_aggregates,
+    )
+    from beats_spark.routing import fan_out
+
+    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+    try:
+        t0 = time.time()
+        routed = full_pipeline(spark, sf_dir)
+        fan_out(routed, out_dir)
+        aggs = sink_aggregates(spark.read.parquet(out_dir)).collect()
+        rolls = conv_rollups(routed).count()
+        elapsed = time.time() - t0
+        turns = sum(r.turn_count for r in aggs)
+        assert rolls > 0
+        return elapsed, turns
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from beats_spark import queries as Q
+
+    timings: dict[str, float] = {}
+    for name, fn in Q.queries().items():
+        t0 = time.time()
+        # noop write: full distributed compute, no driver collect
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cores in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        tput8, tput32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+        eff = (tput32 / tput8) / (32 / 8)
+        print(json.dumps({
+            "sf_dir": sf_dir,
+            "local8": results[8], "local32": results[32],
+            "speedup": round(tput32 / tput8, 3),
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    from beats_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    elapsed, turns = run_headline(spark, sf_dir)
+    headline_only = "--headline-only" in sys.argv
+    qtimes = {} if headline_only else run_queries(spark, sf_dir)
+    print(json.dumps({
+        "metric": "end-to-end pipeline (parse→enrich→route→fanout→aggregate) wall sec",
+        "value": round(elapsed, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": _sf(sf_dir),
+        "turns": turns,
+        "turns_per_sec": round(turns / elapsed, 1),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
