@@ -89,13 +89,34 @@ def oracle_cte(extra_ctes: str = "") -> str:
     return f"WITH transcripts AS ({body}){tail}"
 
 
-def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_transcripts(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """Read events parquet under sf_dir and derive the transcript DataFrame.
 
     In production this is `spark.read.format("iceberg").load(table)` of the
     real 10^12-turn transcript table; the derivation below is the
     deterministic small-scale stand-in.
+
+    `replicate=K` deterministically scales the input K× for throughput /
+    scaling benchmarks: each replica gets disjoint user_id (⇒ conv_id) and
+    event_id ranges, so conversation-key cardinality grows with the data —
+    the realistic shape for skew/shuffle behavior at larger scale.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        events = (
+            # spread the (single-file) source across tasks FIRST so the K×
+            # expansion itself is parallel — otherwise one scan task emits
+            # all K·N rows and serializes the job
+            events.repartition(spark.sparkContext.defaultParallelism)
+            .crossJoin(F.broadcast(reps))
+            .withColumn("user_id", F.col("user_id") + F.col("_rep") * 10_000_000)
+            .withColumn("event_id", F.col("event_id") + F.col("_rep") * 1_000_000_000)
+            .drop("_rep")
+        )
     events.createOrReplaceTempView("events")
     return spark.sql(transcripts_select("spark"))

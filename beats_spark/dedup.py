@@ -1,0 +1,304 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five flavors, all DataFrame-native:
+
+- exact: hash-groupBy on normalized text (one shuffle on the hash key);
+- MinHash + LSH: char-shingles → K minhashes → B bands → band-bucket
+  self-join → exact Jaccard verify. Shingling/minhashing run entirely in
+  JVM whole-stage codegen (transform/aggregate over arrays — no Python);
+- SimHash: 64-bit signature via Arrow-vectorized numpy (bit-parallel),
+  near-dup = Hamming distance ≤ t within LSH-style chunk buckets;
+- n-gram Jaccard: exact pairwise verify used standalone on small candidate
+  sets (blocking by length bucket);
+- embedding cosine: see beats_spark.similarity (near-dup = cos ≥ τ).
+
+Scale shape: every stage is a map or a shuffle on a dedup key; candidate
+generation never does an unblocked cross join. At 100 TB, band hashing
+bounds the self-join to per-bucket groups; a salt cap (`max_bucket`) guards
+degenerate buckets (all-identical spam shingles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per normalized-text hash.
+
+    One shuffle keyed on the 256-bit hash; Spark's hash aggregate does
+    map-side partials so duplicate-heavy data shrinks before the exchange.
+    """
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        df.withColumn("_dedup_key", h)
+        .groupBy("_dedup_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# -- char shingles + minhash (all JVM expressions) ---------------------------
+
+
+def shingles_expr(norm_col: str, k: int = 5) -> Column:
+    """Distinct char k-shingles over a PRE-NORMALIZED text column, as
+    array<string>. SQL expr because substr needs a dynamic start position;
+    takes a materialized column (not an expression) so Catalyst doesn't
+    re-evaluate normalization once per array element."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({norm_col}) - {k - 1}, 1)),"
+        f" i -> substr({norm_col}, i, {k})))"
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """K independent minhashes: min over shingles of xxhash64(seed_i ⊕ s).
+
+    Pure Column expressions → whole-stage codegen; K×|shingles| hashes per
+    row, all JVM-side.
+    """
+    mins = [
+        F.array_min(
+            F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+        )
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (assumed distinct elements)."""
+    inter = F.size(F.array_intersect(a, b))
+    return (inter / (F.size(a) + F.size(b) - inter)).cast("double")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    shingle → minhash → band-hash → explode(bands) → self-join per
+    (band, band_hash) bucket → exact-Jaccard verify. The only shuffles are
+    the bucket groupBy/join on band hashes; verify runs on candidates only.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        .withColumn("_sh", shingles_expr("_norm", shingle_k))
+        .drop("_norm")
+        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    )
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", "_b.band", "_b.bhash")
+
+    # degenerate-bucket guard: cap bucket size (spam shingles / empty docs)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "bhash").orderBy("_id")
+    banded = banded.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col("band"), F.col("bhash"),
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band"), F.col("bhash"),
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """Docs to DROP: connected to a lower-id near-duplicate. (Single-link
+    union is approximated by 'keep a doc iff it has no lower-id neighbor' —
+    one extra join instead of an iterative connected-components pass; at
+    10^12 rows run graphframes CC on the pairs if true transitivity is
+    needed.)"""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# -- simhash (vectorized numpy over Arrow batches) ---------------------------
+
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    # FNV-1a 64-bit, vectorizable enough at batch level; deterministic
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for j, t in enumerate(tokens):
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in t.encode("utf-8"):
+            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[j] = h
+    return out
+
+
+def simhash_series(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per text: sign of per-bit sum of token-hash bits."""
+    bits = np.arange(64, dtype=np.uint64)
+    res = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if t is None:
+            res[i] = 0
+            continue
+        toks = str(t).lower().split()
+        if not toks:
+            res[i] = 0
+            continue
+        hs = _token_hashes(toks)  # (n,)
+        # (n, 64) bit matrix → column sums → sign
+        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = bitmat.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        res[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(res)
+
+
+def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash") -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return simhash_series(s)
+
+    return df.withColumn(target, _udf(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on 4 × 16-bit chunks (any pair within
+    Hamming ≤ 3 of a 64-bit signature shares at least one exact 16-bit chunk
+    — pigeonhole), verify Hamming exactly via bit_count(xor)."""
+    sh = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    chunks = sh.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "simhash", "_c.chunk", "_c.cval")
+    a = chunks.select("chunk", "cval", F.col("_id").alias("id_a"),
+                      F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk", "cval", F.col("_id").alias("id_b"),
+                      F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    length_bucket: int = 64,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard with length-bucket blocking: docs whose
+    lengths differ by more than one bucket can't clear the threshold, so
+    only adjacent buckets join."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"),
+        )
+        .withColumn("_g", grams)
+        .drop("_toks")
+        .withColumn("_bucket", (F.size("_g") / length_bucket).cast("int"))
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"),
+                    F.col("_bucket").alias("b_a"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"),
+                    F.col("_bucket").alias("b_b"))
+    cand = a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("b_a") - F.col("b_b")) <= 1),
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("g_a"), F.col("g_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

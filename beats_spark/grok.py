@@ -184,9 +184,26 @@ class GrokBank:
             if not todo.any():
                 break
             sub = g.grok_frame(s[todo])
-            sub_matched = sub.notna().any(axis=1) | s[todo].str.contains(
-                g.pattern, na=False
-            )
+            # a matched row has every mandatory group captured (possibly as
+            # ''), so extract output already tells us who matched; only the
+            # leftover rows (all-optional-group corner) re-run the regex
+            if len(sub.columns):
+                sub_matched = sub.notna().any(axis=1)
+                rest = ~sub_matched
+                if rest.any():
+                    import warnings
+
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore", UserWarning)
+                        sub_matched[rest] = (
+                            s[todo][rest].str.contains(g.pattern, na=False)
+                        )
+            else:
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", UserWarning)
+                    sub_matched = s[todo].str.contains(g.pattern, na=False)
             if out is None:
                 out = pd.DataFrame(index=s.index, columns=self.output_keys, dtype="object")
             hit = sub_matched[sub_matched].index

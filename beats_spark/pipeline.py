@@ -64,9 +64,11 @@ def route_stage(df: DataFrame) -> DataFrame:
     return route(df, ROUTING_RULES)
 
 
-def full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def full_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
     """transcripts → parse → enrich → route; returns the routed event table."""
-    return route_stage(enrich_stage(parse_stage(load_transcripts(spark, sf_dir))))
+    return route_stage(
+        enrich_stage(parse_stage(load_transcripts(spark, sf_dir, replicate=replicate)))
+    )
 
 
 def sink_aggregates(routed: DataFrame) -> DataFrame:

@@ -482,6 +482,153 @@ def q_timestamp_parse(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text analysis (documents, embeddings)
+# --------------------------------------------------------------------------
+
+import beats_spark.dedup as D
+import beats_spark.similarity as SIM
+import beats_spark.textops as X
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT count(*) AS n_groups, CAST(sum(dup_count) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       min(keep_id) AS min_keep, max(keep_id) AS max_keep
+FROM (
+  SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS k,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+  FROM documents GROUP BY 1
+)
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = D.exact_dedup(docs)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("dup_count").alias("n_docs"),
+        F.sum(F.when(F.col("dup_count") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.min("keep_id").alias("min_keep"),
+        F.max("keep_id").alias("max_keep"),
+    )
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id, {X.token_count_sql()} AS n_tokens,
+       CAST({X.bpe_token_count_sql()} AS INTEGER) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.bpe_token_count(X.token_count(docs)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+def _quality_oracle() -> str:
+    frags = X.quality_features_sql()
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in frags.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+@register("text_quality", _quality_oracle())
+def q_text_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "punct_ratio",
+        "stopword_hits", "mean_word_len", "quality_score",
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+SELECT pred_lang, lang,  count(*) AS n
+FROM (SELECT lang, {X.lang_id_sql()} AS pred_lang FROM documents)
+GROUP BY 1, 2
+""",
+)
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.lang_id(docs).groupBy("pred_lang", "lang").agg(F.count("*").alias("n"))
+
+
+@register("doc_fingerprint", X.doc_fingerprint_oracle())
+def q_doc_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.doc_fingerprint(docs).select("doc_id", "doc_fp")
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+v AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+s AS (SELECT qid, nid,
+             list_dot_product(qv, vv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv)))
+               AS score
+      FROM q CROSS JOIN v WHERE nid <> qid),
+r AS (SELECT qid AS query_id, nid AS neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, nid) AS INTEGER) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM r WHERE rank <= 5
+""",
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    out = SIM.cosine_topk(embs, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+# rows-only entries (hash-family internals differ engine-to-engine → the
+# driver records the weaker rows-only check; pytest covers exact behavior)
+
+
+@register("minhash_dedup")
+def q_minhash_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_dedup(docs, threshold=0.6).select("doc_id")
+
+
+@register("simhash_pairs")
+def q_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash_near_pairs(docs, max_hamming=10)
+
+
+@register("ngram_jaccard_pairs")
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+@register("ann_lsh_topk")
+def q_ann_lsh_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(embs, q, dim=64, k=5, n_planes=6, n_tables=8)
+
+
+@register("ann_ivf_topk")
+def q_ann_ivf_topk(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,90 @@
+"""Skew handling: salted repartition + two-phase aggregation.
+
+The north rule requires hot-conversation skew defused by salting conv_id.
+Beats' analogue is the kafka hash partitioner (reference:
+/root/reference/libbeat/outputs/kafka/partition.go:220-238 — FNV-32a of key
+fields), which has the same hot-key problem; Beats can't fix it (one key =
+one partition), Spark can: spread each hot key over S salt buckets, do the
+heavy work per (key, salt), then combine the S partials per key.
+
+AQE's skew-join/partition-coalescing handles *join* skew automatically
+(enabled in session.py); the helpers here cover aggregation/window skew,
+which AQE does not re-balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salt(df: DataFrame, key: str, buckets: int, salt_on: str | None = None) -> DataFrame:
+    """Add a deterministic salt column spreading each `key` over `buckets`.
+
+    `salt_on`: a column whose hash picks the bucket (default: a per-row
+    uniform spread via the row's natural secondary key when present). Using
+    a real column (not rand()) keeps the pipeline deterministic/replayable.
+    """
+    src = salt_on or ("turn_idx" if "turn_idx" in df.columns else key)
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(src)), F.lit(buckets)).cast("int")
+    )
+
+
+def repartition_salted(df: DataFrame, key: str, buckets: int,
+                       num_partitions: int | None = None) -> DataFrame:
+    """repartition on (key, salt): hot conversations split across `buckets`
+    tasks instead of melting one executor."""
+    salted = salt(df, key, buckets)
+    cols = [F.col(key), F.col(SALT_COL)]
+    return (
+        salted.repartition(num_partitions, *cols)
+        if num_partitions
+        else salted.repartition(*cols)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof two-phase aggregation.
+
+    aggs: {out_name: (combine_fn_name, partial_expr)} where combine_fn is
+    one of sum|min|max|count — the re-aggregatable subset. Phase 1 aggregates
+    per (keys, salt) — hot keys use `buckets` parallel tasks; phase 2
+    combines the tiny per-salt partials per key.
+
+    Example:
+        salted_agg(df, ["conv_id"],
+                   {"n_turns": ("sum", F.count("*")),
+                    "last_ts": ("max", F.max("ts"))})
+
+    Note Spark's hash aggregate already does partial (map-side) aggregation;
+    explicit salting matters for the *shuffle* key distribution when single
+    keys are so hot that even their post-combine partials skew a reducer —
+    i.e. high-cardinality payloads per key (collect_list-ish work) or
+    extreme row counts per key.
+    """
+    partial = salt(df, keys[0], buckets).groupBy(*keys, SALT_COL).agg(
+        *[expr.alias(f"_p_{name}") for name, (_, expr) in aggs.items()]
+    )
+    combine = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.sum}
+    final = partial.groupBy(*keys).agg(
+        *[
+            combine[fn](F.col(f"_p_{name}")).alias(name)
+            for name, (fn, _) in aggs.items()
+        ]
+    )
+    return final
+
+
+def stable_order(df: DataFrame, *cols: str) -> DataFrame:
+    """sortWithinPartitions on the natural key — the cheap (no global shuffle)
+    way to give every partition the stable (conv_id, turn_idx) order the
+    per-turn-equality invariant requires."""
+    return df.sortWithinPartitions(*cols)

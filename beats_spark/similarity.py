@@ -1,0 +1,209 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Three tiers:
+- brute-force cosine top-k (the correctness baseline): broadcast the query
+  set, dot products in JVM via zip_with/aggregate in DOUBLE (bitwise-
+  deterministic left-to-right sum — the DuckDB oracle reproduces it), rank
+  with a per-query window;
+- LSH (random hyperplanes): signature via a broadcast plane matrix inside a
+  vectorized pandas UDF (one numpy matmul per Arrow batch), bucket join on
+  signature, verify within bucket — the 100 TB path (no cross join);
+- IVF: deterministic centroid sample, assign-to-nearest, probe top-P cells.
+
+All variants return (query_id, neighbor_id, score, rank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries broadcast against the vector table.
+
+    Scale: |queries| must be broadcast-small (the usual ANN-serving shape);
+    the big side streams through one pass, ranked by a window partitioned on
+    query_id — shuffle size = |queries| × |vectors| candidate rows reduced
+    map-side by nothing, so for large query sets use lsh_topk instead.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vvec"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("_qvec"), F.col("_vvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    target: str = "lsh_sig",
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane signature as a long — one numpy matmul per Arrow
+    batch (vectorized; the plane matrix is captured in the UDF closure and
+    shipped once per executor)."""
+    planes = _planes(dim, n_planes, seed)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.values).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
+
+    return df.withColumn(target, sig(F.col(vec_col)))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucketed ANN: `n_tables` independent plane sets; candidates = vectors
+    sharing a bucket with the query in ANY table; exact cosine + top-k on
+    candidates only. Shuffles are bucket-key joins — no cross join."""
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    cands = None
+    for t in range(n_tables):
+        vs = lsh_signatures(v, dim, n_planes, "_vvec", "_b", seed=11 + t)
+        qs = lsh_signatures(q, dim, n_planes, "_qvec", "_b", seed=11 + t)
+        c = vs.join(qs, "_b").select("query_id", "neighbor_id", "_qvec", "_vvec")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.withColumn(
+        "score",
+        _dot(F.col("_qvec"), F.col("_vvec"))
+        / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat: centroids = deterministic sample (every N/n_cells-th vector
+    by id — at real scale substitute a k-means fit on a sample), vectors
+    assigned to their nearest cell, queries probe the `n_probe` nearest
+    cells, exact cosine within probed cells."""
+    ids = [r[0] for r in vectors.select(id_col).orderBy(id_col).collect()[::max(1, vectors.count() // n_cells)]][:n_cells]
+    cents = (
+        vectors.filter(F.col(id_col).isin(ids))
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    # assign every vector to nearest centroid (centroids broadcast)
+    va = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dot(F.col("_vvec"), F.col("_cvec"))
+                    / (_norm(F.col("_vvec")) * _norm(F.col("_cvec"))))
+    )
+    wv = W.partitionBy("neighbor_id").orderBy(F.col("_d").desc(), F.col("cell_id"))
+    va = va.withColumn("_rn", F.row_number().over(wv)).filter(F.col("_rn") == 1)
+    va = va.select("neighbor_id", "_vvec", "cell_id")
+
+    qa = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dot(F.col("_qvec"), F.col("_cvec"))
+                    / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("_d").desc(), F.col("cell_id"))
+    qa = qa.withColumn("_rn", F.row_number().over(wq)).filter(
+        F.col("_rn") <= n_probe
+    ).select("query_id", "_qvec", "cell_id")
+
+    scored = (
+        va.join(qa, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("_qvec"), F.col("_vvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

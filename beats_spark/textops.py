@@ -1,0 +1,192 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+Everything is built-in Column expressions (JVM, whole-stage codegen) so the
+identical logic renders to DuckDB SQL for the correctness oracle — see
+`*_sql` companions. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword banks (public common-word lists); the heuristic
+# is argmax of distinct-stopword hits, ties broken by language code order
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "with", "for", "on"],
+    "de": ["der", "die", "und", "das", "ist", "mit", "für", "auf", "ein", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "pour", "que", "dans"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+
+_WS = r"\s+"
+# BPE-ish token regex: runs of letters, runs of digits, or single
+# punctuation — the common pre-tokenizer shape
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), _WS)
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                target: str = "n_tokens") -> DataFrame:
+    """Whitespace token count."""
+    return df.withColumn(
+        target,
+        F.when(F.trim(F.col(text_col)) == "", 0).otherwise(
+            F.size(tokens(F.col(text_col)))
+        ),
+    )
+
+
+def token_count_sql(text_col: str = "text") -> str:
+    return (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 ELSE "
+        f"len(regexp_split_to_array(trim(lower({text_col})), '\\s+')) END"
+    )
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text",
+                    target: str = "n_bpe_tokens") -> DataFrame:
+    """Count of BPE-ish pre-tokens via regexp_count (letter runs, digit
+    runs, single punctuation)."""
+    return df.withColumn(
+        target, F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    )
+
+
+def bpe_token_count_sql(text_col: str = "text") -> str:
+    return f"len(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}'))"
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    features + a composite quality score in [0,1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tok = F.size(tokens(c))
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(c)),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    )
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_hits", n_stop)
+        .withColumn(
+            "mean_word_len",
+            F.round((n_chars - n_tok + 1) / F.greatest(n_tok, F.lit(1)), 6),
+        )
+    )
+    # composite: reasonable length, some stopwords, low punctuation
+    score = (
+        F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_hits") / 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def quality_features_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB fragments computing the identical features."""
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    n_chars = f"length({text_col})"
+    n_tok = f"len({toks})"
+    n_punct = f"len(regexp_extract_all({text_col}, '[^\\w\\s]'))"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = f"len(list_intersect(list_distinct({toks}), [{stop_list}]))"
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_tok,
+        "punct_ratio": f"round({n_punct} / greatest({n_chars}, 1), 6)",
+        "stopword_hits": n_stop,
+        "mean_word_len": f"round(({n_chars} - {n_tok} + 1) / greatest({n_tok}, 1), 6)",
+        "quality_score": (
+            f"round(least({n_tok} / 20.0, 1.0) * 0.4"
+            f" + least({n_stop} / 5.0, 1.0) * 0.4"
+            f" + (1.0 - least(round({n_punct} / greatest({n_chars}, 1), 6) * 10.0, 1.0)) * 0.2, 6)"
+        ),
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            target: str = "pred_lang") -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language distinct stopword
+    hits; 'und' (undetermined) when no language scores ≥ 1. Deterministic
+    tie-break: language code order."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # build reversed so earlier languages win ties via when-chain ordering
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] == best) & (best >= 1), lang).otherwise(pred)
+    return df.withColumn(target, pred)
+
+
+def lang_id_sql(text_col: str = "text") -> str:
+    toks = f"list_distinct(regexp_split_to_array(trim(lower({text_col})), '\\s+'))"
+    scores = {
+        lang: f"len(list_intersect({toks}, [{', '.join(chr(39) + w + chr(39) for w in words)}]))"
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} AND {best} >= 1 THEN '{lang}'"
+        for lang in sorted(scores)
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    target: str = "doc_fp", k: int = 8) -> DataFrame:
+    """Rolling-shingle fingerprint: min sha256 over all k-char shingles of
+    the normalized text (the winnowing global-min special case — stable
+    under small edits away from the minimizing shingle).
+
+    The normalized text is materialized into a column first: referencing the
+    regexp expression inside transform() would re-evaluate it once per array
+    element (~8× slower measured)."""
+    return (
+        df.withColumn(
+            "_fp_norm",
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        )
+        .withColumn(
+            target,
+            F.expr(
+                f"array_min(transform(sequence(1, greatest(length(_fp_norm) - {k - 1}, 1)),"
+                f" i -> sha2(substr(_fp_norm, i, {k}), 256)))"
+            ),
+        )
+        .drop("_fp_norm")
+    )
+
+
+def doc_fingerprint_sql(text_col: str = "text", k: int = 8) -> str:
+    """DuckDB fragment; use over a subquery that materializes _fp_norm
+    (see doc_fingerprint_oracle) to avoid per-element regexp re-eval."""
+    norm = "_fp_norm"
+    return (
+        f"list_min(list_transform(range(1, greatest(length({norm}) - {k - 1}, 1) + 1),"
+        f" i -> sha256(substr({norm}, CAST(i AS INTEGER), {k}))))"
+    )
+
+
+def doc_fingerprint_oracle(table: str = "documents", text_col: str = "text",
+                           k: int = 8) -> str:
+    return (
+        f"SELECT doc_id, {doc_fingerprint_sql(text_col, k)} AS doc_fp FROM "
+        f"(SELECT doc_id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+        f" AS _fp_norm FROM {table})"
+    )

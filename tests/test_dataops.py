@@ -1,0 +1,181 @@
+"""Training-data ops: dedup (exact/minhash/simhash/ngram), ANN similarity,
+text analysis. Uses the documents/embeddings testdata tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import beats_spark.dedup as D
+import beats_spark.similarity as S
+import beats_spark.textops as X
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    # plant exact + whitespace-variant duplicates
+    extra = docs.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    with_dups = docs.unionByName(extra)
+    out = D.exact_dedup(with_dups)
+    assert out.count() == docs.count()  # variants collapse onto originals
+    assert out.filter(F.col("dup_count") == 2).count() == 3
+    # representative is the lower id
+    assert out.agg(F.max("keep_id")).first()[0] < 100000
+
+
+def test_minhash_lsh_near_dups(spark, docs):
+    # planted near-duplicate: append a few tokens to an existing doc
+    near = docs.limit(5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tweak")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    with_dups = docs.unionByName(near)
+    pairs = D.minhash_lsh_pairs(with_dups, threshold=0.7)
+    found = {
+        (r.id_a, r.id_b) for r in pairs.collect()
+    }
+    planted = {(i, i + 200000) for i in range(5)}
+    assert planted <= found  # all planted near-dups recovered
+    dedup = D.minhash_dedup(with_dups, threshold=0.7)
+    kept = {r.doc_id for r in dedup.select("doc_id").collect()}
+    assert not (kept & {i + 200000 for i in range(5)})  # copies dropped
+    assert set(range(5)) <= kept  # originals kept
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    a = D.simhash(docs).select("doc_id", "simhash")
+    b = D.simhash(docs).select("doc_id", "simhash")
+    assert a.exceptAll(b).count() == 0
+    near = docs.limit(3).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" x")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pairs = D.simhash_near_pairs(docs.unionByName(near), max_hamming=6)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 300000) for i in range(3)} <= found
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    near = docs.limit(3).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pairs = D.ngram_jaccard_pairs(docs.unionByName(near), threshold=0.8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 400000) for i in range(3)} <= found
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_shape_and_selfsim(spark, embs):
+    q = embs.filter(F.col("vec_id") < 3)
+    out = S.cosine_topk(embs, q, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert -1.0001 <= r.score <= 1.0001
+    for rs in by_q.values():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_cosine_topk_finds_planted_twin(spark, embs):
+    # a vector's near-copy must be its top-1 neighbor
+    twin = embs.filter(F.col("vec_id") == 0).select(
+        F.lit(990001).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    out = S.cosine_topk(embs.unionByName(twin), embs.filter(F.col("vec_id") == 0), k=1)
+    row = out.first()
+    assert row.neighbor_id == 990001
+    assert row.score > 0.9999
+
+
+def test_ivf_recall_vs_brute_force(spark, embs):
+    q = embs.filter(F.col("vec_id") < 10)
+    brute = S.cosine_topk(embs, q, k=5)
+    ivf = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
+    b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    i = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5  # probing half the cells of random data
+
+
+def test_lsh_returns_ranked_candidates(spark, embs):
+    q = embs.filter(F.col("vec_id") < 5)
+    out = S.lsh_topk(embs, q, dim=64, k=5, n_planes=6, n_tables=8).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.neighbor_id != r.query_id
+
+
+# -- textops -----------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("one",), ("",), ("a b,c 42!",)], "text string"
+    )
+    out = {r.text: r.n_tokens for r in X.token_count(df).collect()}
+    assert out["hello world foo"] == 3
+    assert out["one"] == 1
+    assert out[""] == 0
+    bpe = {r.text: r.n_bpe_tokens for r in X.bpe_token_count(df).collect()}
+    assert bpe["a b,c 42!"] == 6  # a b , c 42 !
+
+
+def test_quality_features_bounds(spark, docs):
+    out = X.quality_features(docs)
+    row = out.agg(
+        F.min("quality_score"), F.max("quality_score"), F.min("punct_ratio")
+    ).first()
+    assert 0.0 <= row[0] <= row[1] <= 1.0
+    assert row[2] >= 0.0
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house with a dog",),
+            ("der hund ist nicht das problem und die katze",),
+            ("el perro es un animal y la casa es grande",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    preds = [r.pred_lang for r in X.lang_id(df).collect()]
+    assert preds == ["en", "de", "es", "und"]
+
+
+def test_doc_fingerprint_stability(spark, docs):
+    fp1 = X.doc_fingerprint(docs).select("doc_id", "doc_fp")
+    fp2 = X.doc_fingerprint(docs).select("doc_id", "doc_fp")
+    assert fp1.exceptAll(fp2).count() == 0
+    assert fp1.filter(F.col("doc_fp").isNull()).count() == 0

@@ -1,0 +1,108 @@
+"""Scale & ops layer: salting, two-phase agg, observe metrics,
+checkpoint manifest + resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.checkpoint import (
+    checkpointed_fan_out,
+    read_manifest,
+    verify_manifest,
+)
+from beats_spark.data.transcripts import load_transcripts
+from beats_spark.metrics import PipelineMetrics, with_standard_metrics
+from beats_spark.pipeline import full_pipeline
+from beats_spark.scale import SALT_COL, repartition_salted, salt, salted_agg
+
+from .conftest import SF_SMOKE
+
+
+def test_salt_deterministic_and_bounded(spark):
+    t = load_transcripts(spark, SF_SMOKE)
+    s1 = salt(t, "conv_id", 8).select("conv_id", "turn_idx", SALT_COL)
+    s2 = salt(t, "conv_id", 8).select("conv_id", "turn_idx", SALT_COL)
+    assert s1.exceptAll(s2).count() == 0  # deterministic
+    rng = s1.agg(F.min(SALT_COL), F.max(SALT_COL)).first()
+    assert rng[0] >= 0 and rng[1] < 8
+    # a single conversation is actually spread across buckets
+    one = s1.filter(F.col("conv_id") == s1.first().conv_id)
+    assert one.select(SALT_COL).distinct().count() > 1
+
+
+def test_repartition_salted_partitioning(spark):
+    t = load_transcripts(spark, SF_SMOKE)
+    rp = repartition_salted(t, "conv_id", 8, num_partitions=16)
+    assert rp.rdd.getNumPartitions() == 16
+    assert rp.count() == t.count()
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    t = load_transcripts(spark, SF_SMOKE)
+    plain = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"), F.max("ts").alias("last_ts")
+    )
+    salted = salted_agg(
+        t,
+        ["conv_id"],
+        {"n_turns": ("sum", F.count("*")), "last_ts": ("max", F.max("ts"))},
+        buckets=8,
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_pipeline_metrics_observe(spark):
+    m = PipelineMetrics()
+    t = load_transcripts(spark, SF_SMOKE)
+    t = m.observe(t, "scan")
+    from beats_spark.pipeline import parse_stage
+
+    parsed = with_standard_metrics(m, parse_stage(t), "parse")
+    n = parsed.count()  # action triggers both observations
+    rep = m.report()
+    assert rep["scan"]["rows"] == n
+    assert rep["parse"]["rows"] == n
+    assert 0 < rep["parse"]["flagged"] < n  # corrupt rows flagged, not all
+    lineage = m.lineage()
+    assert [s["stage"] for s in lineage] == ["scan", "parse"]
+
+
+def test_checkpoint_resume_no_loss_no_dup(spark, tmp_path):
+    base = str(tmp_path / "ckpt")
+    routed = full_pipeline(spark, SF_SMOKE).cache()
+    total = routed.count()
+
+    # crash after 2 sink commits
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        checkpointed_fan_out(routed, base, job_id="job1", fail_after=2)
+    m1 = read_manifest(base)
+    assert len(m1["sinks"]) == 2
+
+    # resume: completes remaining sinks only
+    m2 = checkpointed_fan_out(routed, base, job_id="job1")
+    assert len(m2["sinks"]) > 2
+    # every row landed exactly once
+    written = sum(e["rows"] for e in m2["sinks"].values())
+    assert written == total
+    assert all(verify_manifest(spark, base).values())
+
+    # second resume is a no-op (manifest unchanged)
+    m3 = checkpointed_fan_out(routed, base, job_id="job1")
+    assert {k: v["rows"] for k, v in m3["sinks"].items()} == {
+        k: v["rows"] for k, v in m2["sinks"].items()
+    }
+    routed.unpersist()
+
+
+def test_checkpoint_new_job_restarts(spark, tmp_path):
+    base = str(tmp_path / "ckpt2")
+    routed = full_pipeline(spark, SF_SMOKE).cache()
+    checkpointed_fan_out(routed, base, job_id="jobA")
+    mA = read_manifest(base)
+    checkpointed_fan_out(routed, base, job_id="jobB")
+    mB = read_manifest(base)
+    assert mB["job_id"] == "jobB"
+    assert set(mA["sinks"]) == set(mB["sinks"])
+    routed.unpersist()
