@@ -1,0 +1,70 @@
+"""Multimodal plumbing: binary columns, mapInPandas decode/explode stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import beats_spark.multimodal as M
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    return M.synthesize_media(docs).cache()
+
+
+def test_media_schema_and_kinds(media):
+    assert media.schema == M.MEDIA_SCHEMA
+    kinds = {r.kind for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_detect_media_type_builtin(media):
+    out = M.detect_media_type(media)
+    bad = out.filter(
+        ((F.col("kind") == "image") & ~F.col("detected_type").startswith("image/"))
+        | ((F.col("kind") == "audio") & (F.col("detected_type") != "audio/wav"))
+        | ((F.col("kind") == "video") & (F.col("detected_type") != "video/mp4"))
+    )
+    assert bad.count() == 0
+
+
+def test_media_stats(media):
+    out = M.media_stats(media)
+    row = out.first()
+    assert row.byte_len > 4 and len(row.content_sha) == 64
+    assert out.filter(F.col("magic_hex").isNull()).count() == 0
+
+
+def test_decode_media_fake_deterministic(media):
+    a = M.decode_media(media).collect()
+    b = M.decode_media(media).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r.ok and 16 <= r.width < 256 and r.channels in (1, 3)
+
+
+def test_decode_media_real_raises(media):
+    with pytest.raises(Exception) as ei:
+        M.decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frame_sample_explodes_rows(media):
+    n_videos = media.filter(F.col("kind") == "video").count()
+    frames = M.frame_sample(media, n_frames=4)
+    assert frames.count() == n_videos * 4
+    per = frames.groupBy("media_id").agg(F.countDistinct("frame_sha").alias("d"))
+    assert per.filter(F.col("d") != 4).count() == 0  # distinct frame content
+
+
+def test_resize_stub_depends_on_dims(media):
+    r1 = {r.media_id: r.resized_sha for r in M.resize_stub(media, 64, 64).collect()}
+    r2 = {r.media_id: r.resized_sha for r in M.resize_stub(media, 128, 128).collect()}
+    assert set(r1) == set(r2)
+    assert all(r1[k] != r2[k] for k in r1)

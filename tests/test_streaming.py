@@ -1,0 +1,128 @@
+"""Structured Streaming: stream/batch routed-row equality, windowed flows,
+resume-from-checkpoint, stateful token bucket."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.data.transcripts import load_transcripts
+from beats_spark.pipeline import full_pipeline
+from beats_spark.streaming import (
+    flows_stream,
+    session_flows_stream,
+    stream_pipeline,
+    stream_transcripts,
+)
+from beats_spark.streaming.pipeline import write_sinks
+from beats_spark.streaming.stateful import token_bucket_limit
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Batch-derived transcripts written as a multi-file parquet dir — the
+    stand-in for a tailed directory / Iceberg table."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    load_transcripts(spark, SF_SMOKE).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def test_stream_equals_batch_routing(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_sinks(
+        stream_pipeline(stream_transcripts(spark, source_dir)), out, ckpt
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = full_pipeline(spark, SF_SMOKE)
+    cols = ["conv_id", "turn_idx", "role", "text", "_sink"]
+    assert streamed.count() == batch.count()
+    # per-sink routed-row equality: streaming and batch agree row-for-row
+    assert streamed.select(cols).exceptAll(batch.select(cols)).count() == 0
+    assert batch.select(cols).exceptAll(streamed.select(cols)).count() == 0
+
+
+def test_stream_resume_from_checkpoint(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    # first run processes everything; second run with same checkpoint is a
+    # no-op (no duplicates) — the registrar resume guarantee
+    q1 = write_sinks(
+        stream_pipeline(stream_transcripts(spark, source_dir)), out, ckpt
+    )
+    q1.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q2 = write_sinks(
+        stream_pipeline(stream_transcripts(spark, source_dir)), out, ckpt
+    )
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 > 0
+
+
+def _run_memory_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_flows_window_matches_batch(spark, source_dir):
+    sdf = stream_transcripts(spark, source_dir)
+    got = _run_memory_stream(spark, flows_stream(sdf, window="1 hour"), "flows_t")
+    batch = (
+        load_transcripts(spark, SF_SMOKE)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "role", "n_events")
+    )
+    # append mode only emits windows below the watermark; every emitted
+    # window must match the batch computation exactly
+    got_rows = {
+        (r.window_start, r.role): r.n_events for r in got.collect()
+    }
+    batch_rows = {
+        (r.window_start, r.role): r.n_events for r in batch.collect()
+    }
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert batch_rows[k] == v
+
+
+def test_session_flows_emits(spark, source_dir):
+    sdf = stream_transcripts(spark, source_dir)
+    got = _run_memory_stream(
+        spark, session_flows_stream(sdf, gap="10 minutes"), "sessions_t"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_turns >= 1 and r.first_turn <= r.last_turn
+
+
+def test_token_bucket_stateful(spark, tmp_path):
+    # 10 events in the same second for k1 → only `burst` pass;
+    # spaced events for k2 → all pass
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("k1", base + datetime.timedelta(milliseconds=10 * i)) for i in range(10)]
+    rows += [("k2", base + datetime.timedelta(seconds=5 * i)) for i in range(4)]
+    src = str(tmp_path / "tb_src")
+    spark.createDataFrame(rows, "key string, ts timestamp").write.parquet(src)
+    sdf = spark.readStream.schema("key string, ts timestamp").parquet(src)
+    limited = token_bucket_limit(sdf, ["key"], rate_per_sec=1.0, burst=3)
+    got = _run_memory_stream(spark, limited, "tb_t")
+    counts = {r.key: r.n for r in got.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    assert counts["k1"] == 3  # burst exhausted within one second
+    assert counts["k2"] == 4  # refill rate 1/s covers 5s spacing
