@@ -232,7 +232,7 @@ def cache_put(df: DataFrame, key_field: str, value_field: str, ts_field: str = "
     entry_ts at `cache_get` time."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(key_field).orderBy(F.col(ts_field).desc())
+    w = W.partitionBy("cache_key").orderBy(F.col("entry_ts").desc())
     return (
         df.select(
             F.col(key_field).alias("cache_key"),

@@ -1,0 +1,225 @@
+"""Remaining processor-parity operators: syslog parse, multiline assembly,
+gzip decompression, struct re-nesting, cache get, and the vectorized-script
+escape hatch.
+
+References per function (all under /root/reference/):
+- syslog processor: libbeat/processors/syslog/syslog.go:49-56,141-188 and
+  the generated parsers libbeat/reader/syslog/rfc3164_gen.go, rfc5424_gen.go
+- multiline reader: libbeat/reader/multiline/multiline_config.go:52-63
+- decompress_gzip_field: libbeat/processors/actions/decompress_gzip_field.go:41-43
+- move_fields: libbeat/processors/move_fields/move_fields.go:40-44
+- cache (get): libbeat/processors/cache/config.go:62-108
+- script (javascript): libbeat/processors/script/javascript/javascript.go:42-62
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beats_spark.operators.parse import grok
+
+# RFC-3164: "<13>Oct 11 22:14:15 host app[123]: message"
+RFC3164_PATTERN = (
+    r"^(?:<%{NONNEGINT:log_syslog_priority:int}>)?"
+    r"%{SYSLOGTIMESTAMP:ts_raw} %{IPORHOST:host_hostname} "
+    r"%{PROG:process_name}(?:\[%{POSINT:process_pid:int}\])?:? %{GREEDYDATA:message}$"
+)
+# RFC-5424: "<34>1 2003-10-11T22:14:15.003Z host app 123 MSGID - message"
+RFC5424_PATTERN = (
+    r"^<%{NONNEGINT:log_syslog_priority:int}>%{NONNEGINT:log_syslog_version:int} "
+    r"%{TIMESTAMP_ISO8601:ts_raw} %{NOTSPACE:host_hostname} %{NOTSPACE:process_name} "
+    r"%{NOTSPACE:process_pid_raw} %{NOTSPACE:log_syslog_msgid} "
+    r"(?:-|\[[^\]]*\]) ?%{GREEDYDATA:message}$"
+)
+
+
+def syslog(df: DataFrame, field: str = "message",
+           target_prefix: str = "syslog") -> DataFrame:
+    """RFC-5424-then-3164 syslog parse (the processor tries formats in
+    order, syslog.go:141-188) — one grok bank, first match wins; failures
+    flagged like every parse operator."""
+    out = grok(df, [RFC5424_PATTERN, RFC3164_PATTERN], field=field,
+               target_prefix=target_prefix)
+    pri = F.col(f"{target_prefix}.log_syslog_priority")
+    return (
+        out.withColumn("log_syslog_facility", (pri / 8).cast("int"))
+        .withColumn("log_syslog_severity", F.pmod(pri, F.lit(8)).cast("int"))
+    )
+
+
+def multiline_assemble(
+    df: DataFrame,
+    pattern: str,
+    negate: bool = False,
+    match: str = "after",
+    file_col: str = "conv_id",
+    offset_col: str = "turn_idx",
+    line_col: str = "text",
+    max_lines: int = 500,
+    separator: str = "\n",
+) -> DataFrame:
+    """Reassemble logical events from physical lines — the multiline reader
+    (multiline_config.go:52-63) as a windowed grouping.
+
+    Semantics (pattern/negate/match=after, the dominant config): a line
+    matching (pattern XOR negate) CONTINUES the previous event; a
+    non-matching line STARTS a new event. Event id = running count of
+    starts within (file, offset-order) — a window cumsum, no Python.
+    Returns one row per assembled event with the joined text and line span.
+    """
+    is_cont = F.col(line_col).rlike(pattern)
+    if negate:
+        is_cont = ~is_cont
+    if match == "before":
+        # 'before': matching line is PREpended to the following event —
+        # equivalently a new event starts after a non-matching line; shift
+        # the start flag by one
+        w0 = W.partitionBy(file_col).orderBy(offset_col)
+        starts = ~F.coalesce(F.lag(is_cont, 1).over(w0), F.lit(False))
+    else:
+        starts = ~is_cont
+    w = (
+        W.partitionBy(file_col)
+        .orderBy(offset_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    evt = F.sum(F.when(starts, 1).otherwise(0)).over(w)
+    lines = df.withColumn("_evt", evt)
+    return (
+        lines.groupBy(file_col, "_evt")
+        .agg(
+            F.concat_ws(
+                separator, F.slice(F.sort_array(F.collect_list(
+                    F.struct(F.col(offset_col), F.col(line_col))
+                )), 1, max_lines).getField(line_col)
+            ).alias("message"),
+            F.min(offset_col).alias("first_line"),
+            F.max(offset_col).alias("last_line"),
+            F.count("*").alias("n_lines"),
+        )
+        .withColumnRenamed("_evt", "event_seq")
+    )
+
+
+def decompress_gzip_field(df: DataFrame, field: str, target: str | None = None,
+                          ignore_failure: bool = True) -> DataFrame:
+    """Gunzip a binary column via a vectorized pandas UDF (zlib is the
+    hot loop; the batch loop stays in Arrow)."""
+
+    @F.pandas_udf(T.StringType())
+    def gunzip(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return gzip.decompress(bytes(b)).decode("utf-8", "replace")
+            except Exception:
+                if ignore_failure:
+                    return None
+                raise
+
+        return s.map(one)
+
+    return df.withColumn(target or field, gunzip(F.col(field)))
+
+
+def move_fields(df: DataFrame, fields: list[str], from_prefix: str,
+                to_prefix: str) -> DataFrame:
+    """Re-parent struct fields from one prefix to another
+    (move_fields.go:40-44). Empty from_prefix moves top-level columns into
+    a struct; empty to_prefix hoists struct fields to top level."""
+    if from_prefix and to_prefix:
+        src = df.schema[from_prefix].dataType
+        moved = [f for f in src.fieldNames() if f in fields]
+        stay = [f for f in src.fieldNames() if f not in fields]
+        existing = (
+            df.schema[to_prefix].dataType.fieldNames()
+            if to_prefix in df.columns
+            else []
+        )
+        # copy into the target struct FIRST, then shrink the source struct
+        out = df.withColumn(
+            to_prefix,
+            F.struct(
+                *[F.col(f"{to_prefix}.{f}").alias(f) for f in existing],
+                *[F.col(f"{from_prefix}.{f}").alias(f) for f in moved],
+            ),
+        )
+        return (
+            out.withColumn(
+                from_prefix,
+                F.struct(*[F.col(f"{from_prefix}.{f}").alias(f) for f in stay]),
+            )
+            if stay
+            else out.drop(from_prefix)
+        )
+    if not from_prefix and to_prefix:
+        return df.withColumn(
+            to_prefix, F.struct(*[F.col(f).alias(f) for f in fields])
+        ).drop(*fields)
+    if from_prefix and not to_prefix:
+        hoisted = df.select(
+            "*", *[F.col(f"{from_prefix}.{f}").alias(f) for f in fields]
+        )
+        src = df.schema[from_prefix].dataType
+        stay = [f for f in src.fieldNames() if f not in fields]
+        return hoisted.withColumn(
+            from_prefix,
+            F.struct(*[F.col(f"{from_prefix}.{f}").alias(f) for f in stay]),
+        ) if stay else hoisted.drop(from_prefix)
+    raise ValueError("one of from_prefix/to_prefix must be non-empty")
+
+
+def cache_get(
+    df: DataFrame,
+    cache_df: DataFrame,
+    key_field: str,
+    target_field: str,
+    ttl_seconds: float | None = None,
+    now_ts: str | None = None,
+) -> DataFrame:
+    """The cache processor's get op (cache/config.go:62-108): broadcast join
+    against a cache table built by enrich.cache_put, with TTL expiry as a
+    plain predicate on entry_ts."""
+    cache = cache_df
+    if ttl_seconds is not None and now_ts is not None:
+        cache = cache.filter(
+            F.col("entry_ts") >= F.lit(now_ts).cast("timestamp") - F.expr(
+                f"INTERVAL {int(ttl_seconds)} SECONDS"
+            )
+        )
+    joined = df.join(
+        F.broadcast(cache.select(
+            F.col("cache_key").alias(f"__ck"),
+            F.col("cache_value").alias(target_field),
+        )),
+        F.col(key_field) == F.col("__ck"),
+        "left",
+    )
+    return joined.drop("__ck")
+
+
+def vectorized_script(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: str | T.StructType,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The script-processor escape hatch (javascript.go:42-62 lets users run
+    arbitrary per-event JS). Our contract keeps the BASELINE vectorization
+    rule: the user function receives/returns whole pandas DataFrames per
+    Arrow batch — arbitrary logic, never per-row dispatch from the engine."""
+    src = df.select(*columns) if columns else df
+
+    def run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return src.mapInPandas(run, output_schema)

@@ -483,6 +483,174 @@ def q_timestamp_parse(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# 12. dissect (anchored tokenizer → identical compiled regex in the oracle)
+# --------------------------------------------------------------------------
+
+_DISSECT_TOK = (
+    '%{client_ip} %{ident} %{auth} [%{evt_ts}] "%{method} %{path} '
+    'HTTP/%{http_ver}" %{status|integer} %{size|long}'
+)
+
+
+def _dissect_oracle() -> str:
+    """Render the dissect tokenizer's compiled regex as DuckDB
+    regexp_extract fragments — same single-source-of-truth trick as grok
+    (plain-key tokenizers only: capture group i+1 == field i)."""
+    from beats_spark.dissect import Dissector
+
+    d = Dissector(_DISSECT_TOK)
+    pat = _q(d.pattern.pattern)
+    casts = {"integer": "INTEGER", "long": "BIGINT", "float": "REAL",
+             "double": "DOUBLE", "boolean": "BOOLEAN"}
+    frags = []
+    for i, f in enumerate(d.fields):
+        frag = (f"CASE WHEN regexp_matches(text, {pat}) "
+                f"THEN regexp_extract(text, {pat}, {i + 1}) END")
+        if f.dtype in casts:
+            frag = f"CAST({frag} AS {casts[f.dtype]})"
+        frags.append(f"{frag} AS {f.name}")
+    return (
+        oracle_cte()
+        + "\nSELECT conv_id, turn_idx, "
+        + ", ".join(frags)
+        + ", regexp_matches(text, " + pat + ") AS dissect_ok FROM transcripts"
+    )
+
+
+@register("dissect_parse", _dissect_oracle())
+def q_dissect_parse(spark, sf_dir):
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    out = P.dissect(t, _DISSECT_TOK, field="text", target_prefix="d")
+    names = [f.name for f in out.schema["d"].dataType.fields]
+    return out.select(
+        "conv_id", "turn_idx",
+        *[F.col(f"d.{n}").alias(n) for n in names],
+        F.col("d").isNotNull().alias("dissect_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 13. syslog parse (RFC-5424 lines synthesized dialect-portably)
+# --------------------------------------------------------------------------
+
+_SYSLOG_RENDER = {
+    "spark": (
+        "printf('<%d>1 %s web-%d tool-%s %d MSGID - %s', "
+        "CAST(turn_idx % 192 AS INT), date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss'Z'\"), "
+        "turn_idx % 9, coalesce(tool, 'none'), turn_idx + 100, text)"
+    ),
+    "duckdb": (
+        "printf('<%d>1 %s web-%d tool-%s %d MSGID - %s', "
+        "CAST(turn_idx % 192 AS INT), strftime(ts, '%Y-%m-%dT%H:%M:%SZ'), "
+        "turn_idx % 9, coalesce(tool, 'none'), turn_idx + 100, text)"
+    ),
+}
+
+
+def _syslog_oracle() -> str:
+    from beats_spark.operators.misc import RFC5424_PATTERN
+
+    sql = grok_extract_sql(RFC5424_PATTERN, text_col="line")
+    names = [n for n in sql if n != "ts_raw"]
+    return (
+        oracle_cte(f"lines AS (SELECT {_SYSLOG_RENDER['duckdb']} AS line FROM transcripts)")
+        + "\nSELECT "
+        + ", ".join(names)
+        # floor, not bare CAST: DuckDB rounds double→int, Spark truncates
+        + ", CAST(floor(log_syslog_priority / 8) AS INT) AS facility"
+        + " FROM (SELECT "
+        + ", ".join(f"{frag} AS {name}" for name, frag in sql.items())
+        + " FROM lines)"
+    )
+
+
+@register("syslog_parse", _syslog_oracle())
+def q_syslog_parse(spark, sf_dir):
+    from beats_spark.operators.misc import syslog
+
+    from beats_spark.operators.misc import RFC5424_PATTERN
+
+    t = load_transcripts(spark, sf_dir)
+    lines = t.select(F.expr(_SYSLOG_RENDER["spark"]).alias("line"))
+    out = syslog(lines, field="line", target_prefix="s")
+    # compare the RFC-5424 field set (the bank's union schema also carries
+    # RFC-3164-only keys like process_pid, null here)
+    names = [n for n in Grok(RFC5424_PATTERN).output_keys if n != "ts_raw"]
+    return out.select(
+        *[F.col(f"s.{n}").alias(n) for n in names],
+        (F.col("s.log_syslog_priority") / 8).cast("int").alias("facility"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. multiline assembly (windowed cumsum grouping)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multiline",
+    oracle_cte()
+    + """
+, marked AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN NOT regexp_matches(text, '^user ') THEN 1 ELSE 0 END AS st
+  FROM transcripts
+), evts AS (
+  SELECT *, CAST(sum(st) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS event_seq
+  FROM marked
+)
+SELECT conv_id, event_seq,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS message,
+       min(turn_idx) AS first_line, max(turn_idx) AS last_line,
+       count(*) AS n_lines
+FROM evts GROUP BY conv_id, event_seq
+""",
+)
+def q_multiline(spark, sf_dir):
+    from beats_spark.operators.misc import multiline_assemble
+
+    t = load_transcripts(spark, sf_dir)
+    return multiline_assemble(t, r"^user ", negate=False, match="after")
+
+
+# --------------------------------------------------------------------------
+# 15. decode_json_fields (props payload via events)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decode_json",
+    oracle_cte()
+    + """
+SELECT role, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+       min(k) AS k_min, max(k) AS k_max
+FROM (
+  SELECT role,
+         CAST(json_extract(regexp_extract(text, 'props (.*)$', 1), '$.k')
+              AS BIGINT) AS k
+  FROM transcripts WHERE regexp_matches(text, '^user ')
+)
+GROUP BY role
+""",
+)
+def q_decode_json(spark, sf_dir):
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir).filter(F.col("text").rlike("^user "))
+    t = t.withColumn("props_json", F.regexp_extract("text", r"props (.*)$", 1))
+    t = P.decode_json_fields(t, "props_json", schema="k bigint")
+    return t.groupBy("role").agg(
+        F.count("*").alias("n"),
+        F.sum("props_json.k").alias("k_sum"),
+        F.min("props_json.k").alias("k_min"),
+        F.max("props_json.k").alias("k_max"),
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis (documents, embeddings)
 # --------------------------------------------------------------------------
 

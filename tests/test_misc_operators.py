@@ -1,0 +1,130 @@
+"""syslog, multiline, gzip, move_fields, cache get, vectorized script."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from beats_spark.operators import enrich as E
+from beats_spark.operators import misc as MISC
+
+
+def test_syslog_rfc3164(spark):
+    df = spark.createDataFrame(
+        [
+            ("<13>Oct 11 22:14:15 web01 nginx[123]: upstream timed out",),
+            ("<34>1 2003-10-11T22:14:15.003Z host1 app 9999 ID47 - boom happened",),
+            ("not syslog at all {}",),
+        ],
+        "message string",
+    )
+    out = MISC.syslog(df).collect()
+    r0 = out[0]
+    assert r0.syslog.host_hostname == "web01"
+    assert r0.syslog.process_name == "nginx"
+    assert r0.syslog.process_pid == 123
+    assert r0.syslog.message == "upstream timed out"
+    assert r0.log_syslog_facility == 1 and r0.log_syslog_severity == 5
+    r1 = out[1]
+    assert r1.syslog.log_syslog_version == 1
+    assert r1.syslog.host_hostname == "host1"
+    assert r1.syslog.message == "boom happened"
+    assert r1.log_syslog_facility == 4 and r1.log_syslog_severity == 2
+    r2 = out[2]
+    assert r2.syslog is None and "grok_parsing_error" in r2.flags
+
+
+def test_multiline_after(spark):
+    # continuation lines start with whitespace (classic stack trace):
+    # pattern matches continuations, match=after
+    rows = [
+        ("f1", 0, "Exception in thread"),
+        ("f1", 1, "  at Foo.bar"),
+        ("f1", 2, "  at Baz.qux"),
+        ("f1", 3, "INFO all good"),
+        ("f2", 0, "single line"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = MISC.multiline_assemble(df, r"^\s+", negate=False, match="after")
+    got = {(r.conv_id, r.first_line): r for r in out.collect()}
+    assert got[("f1", 0)].message == "Exception in thread\n  at Foo.bar\n  at Baz.qux"
+    assert got[("f1", 0)].n_lines == 3
+    assert got[("f1", 3)].message == "INFO all good"
+    assert got[("f2", 0)].message == "single line"
+
+
+def test_multiline_count_semantics(spark):
+    rows = [("f", i, f"line{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    # negate=True + pattern that matches nothing -> every line continues =>
+    # one event per file
+    out = MISC.multiline_assemble(df, r"^NEVER", negate=True, match="after")
+    assert out.count() == 1
+    assert out.first().n_lines == 6
+
+
+def test_decompress_gzip_field(spark):
+    payload = gzip.compress(b"hello compressed world")
+    df = spark.createDataFrame(
+        [(bytearray(payload),), (bytearray(b"not gzip"),), (None,)],
+        "blob binary",
+    )
+    out = MISC.decompress_gzip_field(df, "blob", target="text").collect()
+    assert out[0].text == "hello compressed world"
+    assert out[1].text is None
+    assert out[2].text is None
+
+
+def test_move_fields_between_structs(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    df = df.withColumn("a", F.struct(F.lit("x").alias("p"), F.lit("y").alias("q")))
+    df = df.withColumn("b", F.struct(F.lit("z").alias("r")))
+    out = MISC.move_fields(df, ["p"], "a", "b").first()
+    assert out.a.asDict() == {"q": "y"}
+    assert out.b.asDict() == {"r": "z", "p": "x"}
+    # hoist to top level
+    up = MISC.move_fields(df, ["q"], "a", "").first()
+    assert up.q == "y"
+    # nest from top level
+    down = MISC.move_fields(df.select("id"), ["id"], "", "meta").first()
+    assert down.meta.asDict() == {"id": 1}
+
+
+def test_cache_put_get_roundtrip_with_ttl(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    puts = spark.createDataFrame(
+        [
+            ("k1", "old", t0),
+            ("k1", "new", t0 + datetime.timedelta(hours=2)),
+            ("k2", "v2", t0),
+        ],
+        "key string, value string, ts timestamp",
+    )
+    cache = E.cache_put(puts, "key", "value")
+    events = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "key string")
+    got = {r.key: r.cached for r in MISC.cache_get(events, cache, "key", "cached").collect()}
+    assert got == {"k1": "new", "k2": "v2", "k3": None}  # latest-wins + miss
+    # TTL: entries older than 1h relative to t0+2h expire
+    got2 = {
+        r.key: r.cached
+        for r in MISC.cache_get(
+            events, cache, "key", "cached",
+            ttl_seconds=3600, now_ts="2024-01-01 02:00:00",
+        ).collect()
+    }
+    assert got2 == {"k1": "new", "k2": None, "k3": None}
+
+
+def test_vectorized_script(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, s string")
+
+    def user_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n2": pdf["n"] * 2, "s": pdf["s"].str.upper()})
+
+    out = MISC.vectorized_script(df, user_fn, "n2 int, s string")
+    rows = sorted(out.collect())
+    assert [(r.n2, r.s) for r in rows] == [(2, "A"), (4, "B")]
