@@ -286,6 +286,36 @@ def add_network_direction(
     )
 
 
+def now(df: DataFrame, target: str, fixed_ts: str | None = None) -> DataFrame:
+    """Set field to current time (now/now.go:40). Pass fixed_ts for
+    deterministic/replayable pipelines (the default in this engine)."""
+    return df.withColumn(
+        target,
+        F.lit(fixed_ts).cast("timestamp") if fixed_ts else F.current_timestamp(),
+    )
+
+
+def add_data_stream(
+    df: DataFrame,
+    ds_type: str = "logs",
+    dataset: str = "generic",
+    namespace: str = "default",
+) -> DataFrame:
+    """Compute data_stream.{type,dataset,namespace} + the raw_index routing
+    column (add_data_stream/add_data_stream.go:40-90)."""
+    return df.withColumn(
+        "data_stream",
+        F.struct(
+            F.lit(ds_type).alias("type"),
+            F.lit(dataset).alias("dataset"),
+            F.lit(namespace).alias("namespace"),
+        ),
+    ).withColumn(
+        "_meta_raw_index",
+        F.concat_ws("-", F.lit(ds_type), F.lit(dataset), F.lit(namespace)),
+    )
+
+
 def add_formatted_index(
     df: DataFrame, fmt: str, ts_field: str = "ts", target: str = "_meta_raw_index"
 ) -> DataFrame:

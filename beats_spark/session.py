@@ -52,4 +52,38 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `beats_spark` importable on executors regardless of launch cwd.
+
+    pandas-UDF closures reference this package; workers only see it if it's
+    installed, on PYTHONPATH, or shipped. spark-submit --py-files covers
+    production; for ad-hoc drivers (notebook, scripts run from anywhere) we
+    zip the package once and addPyFile it."""
+    import tempfile
+    import zipfile
+
+    if getattr(_ship_package, "_done", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if "site-packages" in pkg_dir or "dist-packages" in pkg_dir:
+        _ship_package._done = True
+        return  # properly installed — workers resolve it themselves
+    fd, zip_path = tempfile.mkstemp(suffix="_beats_spark.zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _, files in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    rel = os.path.join(
+                        "beats_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _ship_package._done = True
