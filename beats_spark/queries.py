@@ -651,6 +651,220 @@ def q_decode_json(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# 16. field surgery combo: rename/copy/replace/truncate/case/extract
+# --------------------------------------------------------------------------
+
+
+@register(
+    "field_surgery",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       upper(role) AS role_up,
+       regexp_replace(text, 'user', 'UsEr', 'g') AS text_repl,
+       substr(text, 1, 24) AS text_trunc,
+       CASE WHEN length(text) > 24 THEN TRUE ELSE FALSE END AS was_truncated,
+       split_part(text, ' ', 1) AS first_token,
+       text AS raw_copy
+FROM transcripts
+""",
+)
+def q_field_surgery(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    t = E.copy_fields(t, [("text", "raw_copy"), ("role", "role_up")])
+    t = E.uppercase_fields(t, ["role_up"])
+    t = t.withColumn("text_repl", F.col("text"))
+    t = E.replace_fields(t, [{"field": "text_repl", "pattern": "user",
+                              "replacement": "UsEr"}])
+    t = t.withColumn("was_truncated", F.length("text") > 24)
+    t = t.withColumn("text_trunc", F.substring("text", 1, 24))
+    from beats_spark.operators import parse as P
+
+    t = P.extract_field(t, "text", " ", 0, "first_token")
+    return t.select("conv_id", "turn_idx", "role_up", "text_repl",
+                    "text_trunc", "was_truncated", "first_token", "raw_copy")
+
+
+# --------------------------------------------------------------------------
+# 17. convert type lattice (+ ip validation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "convert_types",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       CAST(turn_idx AS BIGINT) AS idx_long,
+       CAST(turn_idx AS DOUBLE) AS idx_double,
+       CAST(turn_idx AS VARCHAR) AS idx_str,
+       TRY_CAST(split_part(text, ' ', 1) AS BIGINT) AS maybe_num,
+       CASE WHEN regexp_matches(split_part(text, ' ', 1),
+            '^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$')
+            THEN split_part(text, ' ', 1) END AS maybe_ip
+FROM transcripts
+""",
+)
+def q_convert_types(spark, sf_dir):
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    t = P.extract_field(t, "text", " ", 0, "tok0")
+    t = P.convert(t, [
+        {"from": "turn_idx", "to": "idx_long", "type": "long"},
+        {"from": "turn_idx", "to": "idx_double", "type": "double"},
+        {"from": "turn_idx", "to": "idx_str", "type": "string"},
+        {"from": "tok0", "to": "maybe_num", "type": "long"},
+        {"from": "tok0", "to": "maybe_ip", "type": "ip"},
+    ])
+    return t.select("conv_id", "turn_idx", "idx_long", "idx_double",
+                    "idx_str", "maybe_num", "maybe_ip")
+
+
+# --------------------------------------------------------------------------
+# 18. base64 / urldecode codec roundtrip
+# --------------------------------------------------------------------------
+
+
+@register(
+    "codec_roundtrip",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       base64(encode(text)) AS b64,
+       decode(from_base64(base64(encode(text)))) AS roundtrip
+FROM transcripts
+""",
+)
+def q_codec_roundtrip(spark, sf_dir):
+    # urldecode/url_encode are pytest-covered only: DuckDB 1.0 lacks them
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    # Spark's base64() emits MIME 76-char CRLF chunks; normalize to the
+    # unchunked form (decoders accept both)
+    t = t.withColumn(
+        "b64",
+        F.regexp_replace(F.base64(F.col("text").cast("binary")), r"[\r\n]", ""),
+    )
+    t = P.decode_base64_field(t, "b64", "roundtrip")
+    return t.select("conv_id", "turn_idx", "b64", "roundtrip")
+
+
+# --------------------------------------------------------------------------
+# 19. network conditions + direction classification
+# --------------------------------------------------------------------------
+
+
+@register(
+    "network_direction",
+    oracle_cte()
+    + """
+SELECT direction, count(*) AS n FROM (
+  SELECT CASE
+    WHEN ip IS NULL THEN 'external'
+    WHEN (CAST(split_part(ip,'.',1) AS BIGINT)*16777216 + CAST(split_part(ip,'.',2) AS BIGINT)*65536
+          + CAST(split_part(ip,'.',3) AS BIGINT)*256 + CAST(split_part(ip,'.',4) AS BIGINT))
+         BETWEEN 167772160 AND 184549375 THEN 'outbound'  -- 10.0.0.0/8 src internal
+    ELSE 'external' END AS direction
+  FROM (
+    SELECT CASE WHEN regexp_matches(split_part(text,' ',1),
+           '^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$')
+           THEN split_part(text,' ',1) END AS ip
+    FROM transcripts
+  )
+)
+GROUP BY direction
+""",
+)
+def q_network_direction(spark, sf_dir):
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    t = P.extract_field(t, "text", " ", 0, "tok0")
+    t = P.convert(t, [{"from": "tok0", "to": "src_ip", "type": "ip"}])
+    t = t.withColumn("dst_ip", F.lit("203.0.113.9"))  # constant external peer
+    t = E.add_network_direction(t, "src_ip", "dst_ip", ["private"],
+                                target="direction")
+    return t.groupBy("direction").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# 20. flows with byte counters (packetbeat flows parity)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "flows_bytes",
+    oracle_cte()
+    + f"""
+SELECT {ISO.format(col="time_bucket(INTERVAL '6 hours', ts)")} AS window_start,
+       role,
+       count(*) AS n_events,
+       CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+       max(length(text)) AS max_bytes,
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls
+FROM transcripts GROUP BY 1, 2
+""",
+)
+def q_flows_bytes(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.groupBy(F.window("ts", "6 hours").alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.length("text")).alias("sum_bytes"),
+            F.max(F.length("text")).alias("max_bytes"),
+            F.sum(_tool_call_col()).alias("tool_calls"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
+            "role", "n_events", "sum_bytes", "max_bytes", "tool_calls",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 21. embedding near-dup (cosine >= threshold pairs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dedup",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cos
+  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+       round(max(cos), 4) AS max_cos
+FROM p
+""",
+)
+def q_embedding_dedup(spark, sf_dir):
+    import beats_spark.similarity as SIM2
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cos",
+        SIM2._dot(F.col("ea"), F.col("eb"))
+        / (SIM2._norm(F.col("ea")) * SIM2._norm(F.col("eb"))),
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("cos") >= 0.9, 1).otherwise(0)).alias("near_dups"),
+        F.round(F.max("cos"), 4).alias("max_cos"),
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text analysis (documents, embeddings)
 # --------------------------------------------------------------------------
 
