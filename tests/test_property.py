@@ -1,0 +1,157 @@
+"""Property-based tests (hypothesis) — the reference relies on table-driven
++ golden corpora (SURVEY §5); these add generative coverage on top:
+
+- dissect round-trip: construct a message FROM a random tokenizer and
+  random values, extraction must return those values;
+- vectorized == scalar: the pandas frame path and the per-string reference
+  path agree on arbitrary inputs;
+- condition compiler: Spark evaluation of random and/or/not trees over
+  equals/range matches a pure-Python evaluator (missing ⇒ False).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beats_spark.dissect import Dissector
+from beats_spark.grok import Grok
+
+# values must not contain the delimiter; keep both printable-simple
+_VALUE = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1, max_size=12,
+)
+_KEY = st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True)
+_DELIM = st.sampled_from([" ", " - ", ",", "|", "\t", "::"])
+
+
+@st.composite
+def tokenizer_and_message(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    keys = draw(st.lists(_KEY, min_size=n, max_size=n, unique=True))
+    delim = draw(_DELIM)
+    values = draw(st.lists(_VALUE, min_size=n, max_size=n))
+    tok = delim.join("%{" + k + "}" for k in keys)
+    msg = delim.join(values)
+    return tok, keys, msg, values
+
+
+@settings(max_examples=60, deadline=None)
+@given(tokenizer_and_message())
+def test_dissect_roundtrip(case):
+    tok, keys, msg, values = case
+    d = Dissector(tok)
+    got = d.dissect(msg)
+    assert got is not None, (tok, msg)
+    assert [got[k] for k in keys] == values
+
+
+@settings(max_examples=30, deadline=None)
+@given(tokenizer_and_message())
+def test_dissect_frame_matches_scalar(case):
+    tok, keys, msg, values = case
+    d = Dissector(tok)
+    frame = d.dissect_frame(pd.Series([msg, None, "x" if " " in tok else ""]))
+    scalar = d.dissect(msg)
+    row = frame.iloc[0]
+    for k in keys:
+        assert row[k] == scalar[k]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["INT", "WORD", "NOTSPACE"]), min_size=1, max_size=4
+    ),
+    st.data(),
+)
+def test_grok_roundtrip(pats, data):
+    fields = [f"f{i}" for i in range(len(pats))]
+    expr = "^" + " ".join(
+        "%{" + p + ":" + f + "}" for p, f in zip(pats, fields)
+    ) + "$"
+    g = Grok(expr)
+    vals = []
+    for p in pats:
+        if p == "INT":
+            vals.append(str(data.draw(st.integers(-999, 999))))
+        else:
+            vals.append(data.draw(st.from_regex(r"[A-Za-z0-9]{1,8}", fullmatch=True)))
+    msg = " ".join(vals)
+    got = g.grok(msg)
+    assert got is not None
+    assert [str(got[f]) for f in fields] == vals
+
+
+# -- condition compiler vs pure-python evaluator ------------------------------
+
+_FIELDS = ["a", "b"]
+
+
+@st.composite
+def condition_tree(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(["equals", "range", "has_fields"]))
+        f = draw(st.sampled_from(_FIELDS + ["missing"]))
+        if kind == "equals":
+            return {"equals": {f: draw(st.integers(0, 5))}}
+        if kind == "range":
+            lo = draw(st.integers(0, 3))
+            return {"range": {f: {"gte": lo, "lt": lo + draw(st.integers(1, 3))}}}
+        return {"has_fields": [f]}
+    op = draw(st.sampled_from(["and", "or", "not"]))
+    if op == "not":
+        return {"not": draw(condition_tree(depth=depth + 1))}
+    return {op: draw(st.lists(condition_tree(depth=depth + 1), min_size=1, max_size=3))}
+
+
+def _eval_py(cfg, row: dict) -> bool:
+    (kind, body), = cfg.items()
+    if kind == "and":
+        return all(_eval_py(c, row) for c in body)
+    if kind == "or":
+        return any(_eval_py(c, row) for c in body)
+    if kind == "not":
+        return not _eval_py(body, row)
+    if kind == "equals":
+        return all(row.get(f) is not None and row.get(f) == v for f, v in body.items())
+    if kind == "range":
+        ok = True
+        for f, ops in body.items():
+            v = row.get(f)
+            if v is None:
+                return False
+            for op, bound in ops.items():
+                ok &= {"gte": v >= bound, "gt": v > bound,
+                       "lte": v <= bound, "lt": v < bound}[op]
+        return ok
+    if kind == "has_fields":
+        return all(row.get(f) is not None for f in body)
+    raise AssertionError(kind)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(condition_tree(), min_size=1, max_size=3))
+def test_condition_compiler_matches_python(spark, trees):
+    from pyspark.sql import functions as F
+
+    from beats_spark.conditions import compile_condition
+
+    rows = [(a, b) for a in [None, 0, 1, 2, 5] for b in [None, 0, 3]]
+    df = spark.createDataFrame(rows, "a int, b int")
+    for cfg in trees:
+        got = [
+            r.m
+            for r in df.withColumn("m", compile_condition(cfg, df))
+            .orderBy("a", "b").collect()
+        ]
+        want = [
+            _eval_py(cfg, {"a": a, "b": b})
+            for a, b in sorted(rows, key=lambda t: (t[0] is not None, t[0] or 0,
+                                                    t[1] is not None, t[1] or 0))
+        ]
+        assert got == want, cfg
