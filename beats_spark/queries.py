@@ -1011,6 +1011,115 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
 
 
+# --------------------------------------------------------------------------
+# §2.10 Spark-native analytics over transcripts (sort/top-k, grouping sets,
+# window functions, self-join) — free from the engine, exposed as queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_convs",
+    oracle_cte()
+    + f"""
+SELECT conv_id, tool_calls, n_turns FROM (
+  SELECT conv_id, CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls,
+         count(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+)
+ORDER BY tool_calls DESC, conv_id LIMIT 10
+""",
+)
+def q_topk_convs(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id")
+        .agg(
+            F.sum(_tool_call_col()).alias("tool_calls"),
+            F.count("*").alias("n_turns"),
+        )
+        .orderBy(F.col("tool_calls").desc(), "conv_id")
+        .limit(10)
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle_cte()
+    + """
+SELECT coalesce(role, '<all>') AS role,
+       coalesce(tool, '<all>') AS tool,
+       count(*) AS n
+FROM transcripts
+GROUP BY GROUPING SETS ((role, tool), (role), ())
+""",
+)
+def q_rollup_agg(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    return (
+        t.rollup("role", "tool")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("role", F.lit("<all>")).alias("role"),
+            F.coalesce("tool", F.lit("<all>")).alias("tool"),
+            "n",
+        )
+    )
+
+
+@register(
+    "turn_latency",
+    oracle_cte()
+    + """
+SELECT role, count(*) AS n_gaps,
+       CAST(sum(gap_s) AS BIGINT) AS total_gap_s, max(gap_s) AS max_gap_s
+FROM (
+  SELECT role,
+         -- floor each epoch separately: Spark's unix_timestamp truncates
+         -- sub-second parts per-timestamp; DuckDB epoch() is fractional
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx))) AS BIGINT) AS gap_s
+  FROM transcripts
+)
+WHERE gap_s IS NOT NULL
+GROUP BY role
+""",
+)
+def q_turn_latency(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    g = t.withColumn(
+        "gap_s",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("role").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+@register(
+    "response_pairs",
+    oracle_cte()
+    + """
+SELECT a.role AS prompt_role, b.role AS response_role, count(*) AS n
+FROM transcripts a JOIN transcripts b
+  ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY 1, 2
+""",
+)
+def q_response_pairs(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    a = t.select(F.col("conv_id"), F.col("turn_idx"), F.col("role").alias("prompt_role"))
+    b = t.select(
+        F.col("conv_id"), (F.col("turn_idx") - 1).alias("turn_idx"),
+        F.col("role").alias("response_role"),
+    )
+    return a.join(b, ["conv_id", "turn_idx"]).groupBy(
+        "prompt_role", "response_role"
+    ).agg(F.count("*").alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
