@@ -52,6 +52,22 @@ def _safe(name: str) -> str:
     return name.replace(".", "_").replace("@", "_").replace("[", "_").replace("]", "")
 
 
+ERROR_COL = "error"
+
+
+def set_error(df: DataFrame, cond: Column, message: str, etype: str = "parse") -> DataFrame:
+    """Populate the `error` struct column where cond holds — the
+    SetErrorWithOption shape (libbeat/beat/event.go:303-316: failures write
+    {message, type} under the reserved `error` key, existing value kept for
+    non-failing rows)."""
+    new = F.struct(F.lit(message).alias("message"), F.lit(etype).alias("type"))
+    if ERROR_COL in df.columns:
+        return df.withColumn(
+            ERROR_COL, F.when(cond, new).otherwise(F.col(ERROR_COL))
+        )
+    return df.withColumn(ERROR_COL, F.when(cond, new))
+
+
 def add_flag(df: DataFrame, cond: Column, flag: str) -> DataFrame:
     """Append `flag` to the flags array where cond holds (creates the column
     if absent) — ≅ mapstr.AddTagsWithKey on log.flags."""
@@ -105,6 +121,7 @@ def dissect(
     )
     if flag_failures:
         out = add_flag(out, failed, DISSECT_FAIL_FLAG)
+        out = set_error(out, failed, f"dissect: tokenizer did not match {field}")
     return out
 
 
@@ -164,6 +181,8 @@ def grok(
     )
     if flag_failures:
         out = add_flag(out, F.col("_grok_failed"), GROK_FAIL_FLAG)
+        out = set_error(out, F.col("_grok_failed"),
+                        f"grok: no pattern in bank matched {field}")
     return out.drop("_grok_failed")
 
 

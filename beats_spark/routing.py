@@ -37,11 +37,19 @@ from beats_spark.conditions import compile_condition
 SINK_COL = "_sink"
 DEAD_LETTER = "deadletter"
 
-_FMT_REF = re.compile(r"%\{\[?([\w.\]\[]+?)\]?\}")
+_FMT_REF = re.compile(r"%\{(\+)?\[?([\w.\]\[:]+?)\]?\}")
+
+# Go time-layout fragments → JDK pattern; Beats' `%{+FORMAT}` keys use the
+# joda-ish tokens of fmtstr (formatevents.go timestamp expansion)
+_TIME_TOKENS = [("yyyy", "yyyy"), ("YYYY", "yyyy"), ("MM", "MM"),
+                ("dd", "dd"), ("HH", "HH"), ("mm", "mm"), ("ss", "ss")]
 
 
-def compile_format(fmt: str) -> Column:
-    """`"idx-%{[role]}-%{[tool]}"` → concat of lits and string-cast columns.
+def compile_format(fmt: str, ts_col: str = "ts") -> Column:
+    """`"idx-%{[role]}-%{+yyyy.MM.dd}"` → concat of lits, string-cast
+    columns, and date_format(ts) for `%{+FORMAT}` keys
+    (fmtstr/formatevents.go:35-44; timestamp keys are how Beats builds
+    daily indices — add_formatted_index/config.go:28).
 
     Null field value ⇒ whole result null (rule fallthrough), matching the
     reference where a missing field fails the format string render.
@@ -51,8 +59,14 @@ def compile_format(fmt: str) -> Column:
     for m in _FMT_REF.finditer(fmt):
         if m.start() > pos:
             parts.append(F.lit(fmt[pos : m.start()]))
-        field = m.group(1).replace("][", ".").strip("[]")
-        parts.append(F.col(field).cast("string"))
+        if m.group(1):  # %{+FORMAT} — event-timestamp render
+            java = m.group(2)
+            for src, dst in _TIME_TOKENS:
+                java = java.replace(src, dst)
+            parts.append(F.date_format(F.col(ts_col), java))
+        else:
+            field = m.group(2).replace("][", ".").strip("[]")
+            parts.append(F.col(field).cast("string"))
         pos = m.end()
     if pos < len(fmt):
         parts.append(F.lit(fmt[pos:]))
@@ -115,9 +129,14 @@ def fan_out(
     splits writers per partition value. At 10^12 rows each sink directory is
     an independent dataset (≅ per-sink Iceberg tables; swap `.format("iceberg")
     .writeTo(table)` per sink in production).
+
+    `_meta_*` columns are dropped before write — @metadata is routing-only
+    state, never indexed (libbeat/beat/event.go:42, outputs drop it).
     """
+    meta_cols = [c for c in df.columns if c.startswith("_meta_")]
     (
-        df.write.partitionBy(target)
+        df.drop(*meta_cols)
+        .write.partitionBy(target)
         .format(file_format)
         .mode(mode)
         .save(base_path)
