@@ -847,21 +847,10 @@ FROM p
 """,
 )
 def q_embedding_dedup(spark, sf_dir):
-    import beats_spark.similarity as SIM2
+    from beats_spark.similarity import allpairs_cosine_stats
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cos",
-        SIM2._dot(F.col("ea"), F.col("eb"))
-        / (SIM2._norm(F.col("ea")) * SIM2._norm(F.col("eb"))),
-    )
-    return pairs.agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("cos") >= 0.9, 1).otherwise(0)).alias("near_dups"),
-        F.round(F.max("cos"), 4).alias("max_cos"),
-    )
+    return allpairs_cosine_stats(embs, threshold=0.9)
 
 
 # --------------------------------------------------------------------------

@@ -83,6 +83,72 @@ def cosine_topk(
     )
 
 
+def allpairs_cosine_stats(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine statistics via blocked GEMM.
+
+    Expression-tree dot products cost ~7s/M pairs; one numpy matmul per
+    block-pair does the same work at BLAS speed. Each vector is replicated
+    to the n_blocks block-pair groups it participates in (explode), every
+    group computes its pair stats with a single (nb_a × dim) @ (dim × nb_b)
+    product inside applyInPandas, and a final tiny agg combines the
+    B(B+1)/2 partials. Scales out: groups are independent tasks; replication
+    factor = n_blocks (choose ~sqrt(cluster parallelism)).
+
+    Returns one row: (n_pairs, near_dups, max_cos).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_e")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int"))
+
+    # explode each vector into every block-pair group it belongs to
+    pair_keys = F.array(*[
+        F.struct(
+            F.least(F.col("_blk"), F.lit(b)).alias("b1"),
+            F.greatest(F.col("_blk"), F.lit(b)).alias("b2"),
+        )
+        for b in range(n_blocks)
+    ])
+    exploded = v.select(
+        "_id", "_e", "_blk", F.explode(F.array_distinct(pair_keys)).alias("_p")
+    ).select("_id", "_e", "_blk", "_p.b1", "_p.b2")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = int(pdf["b1"].iloc[0]), int(pdf["b2"].iloc[0])
+        left = pdf[pdf["_blk"] == b1]
+        mat_l = np.stack(left["_e"].values).astype(np.float64)
+        ids_l = left["_id"].values
+        norm_l = np.linalg.norm(mat_l, axis=1)
+        if b1 == b2:
+            g = (mat_l @ mat_l.T) / np.outer(norm_l, norm_l)
+            iu = np.triu_indices(len(ids_l), k=1)
+            cos = g[iu]
+        else:
+            right = pdf[pdf["_blk"] == b2]
+            mat_r = np.stack(right["_e"].values).astype(np.float64)
+            norm_r = np.linalg.norm(mat_r, axis=1)
+            cos = ((mat_l @ mat_r.T) / np.outer(norm_l, norm_r)).ravel()
+        return pd.DataFrame({
+            "n_pairs": [int(cos.size)],
+            "near_dups": [int((cos >= threshold).sum())],
+            "max_cos": [float(cos.max()) if cos.size else -1.0],
+        })
+
+    partials = exploded.groupBy("b1", "b2").applyInPandas(
+        stats, "n_pairs long, near_dups long, max_cos double"
+    )
+    return partials.agg(
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum("near_dups").alias("near_dups"),
+        F.round(F.max("max_cos"), 4).alias("max_cos"),
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
