@@ -108,6 +108,93 @@ def multiline_assemble(
     )
 
 
+# CRI-O format: "2016-10-06T00:17:09.669794202Z stdout F log content"
+CRI_PATTERN = (
+    r"^%{TIMESTAMP_ISO8601:ts_raw} %{WORD:stream} %{WORD:cri_flags} "
+    r"%{GREEDYDATA:message}$"
+)
+
+
+def container(df: DataFrame, field: str = "message", fmt: str = "auto",
+              target_prefix: str = "container") -> DataFrame:
+    """Container log parser (filebeat's `container` input parser: docker
+    json-file and CRI-O formats; reference reader chain
+    libbeat/reader/parser/parser.go:91-130).
+
+    docker format: {"log": "...", "stream": "stdout", "time": "..."} — one
+    from_json; CRI format — grok. `auto` handles both via coalesce (a line
+    is exactly one of the two)."""
+    out = df
+    c = F.col(field)
+    docker = F.from_json(c, "log string, stream string, time string")
+    if fmt in ("auto", "docker"):
+        out = out.withColumn("_docker", docker)
+    if fmt in ("auto", "cri"):
+        out = grok(out, [CRI_PATTERN], field=field, target_prefix="_cri",
+                   flag_failures=False)
+    if fmt == "docker":
+        return out.withColumn(
+            target_prefix,
+            F.struct(
+                F.col("_docker.log").alias("message"),
+                F.col("_docker.stream").alias("stream"),
+                F.col("_docker.time").alias("ts_raw"),
+            ),
+        ).drop("_docker")
+    if fmt == "cri":
+        return out.withColumn(
+            target_prefix,
+            F.struct(
+                F.col("_cri.message").alias("message"),
+                F.col("_cri.stream").alias("stream"),
+                F.col("_cri.ts_raw").alias("ts_raw"),
+            ),
+        ).drop("_cri")
+    return out.withColumn(
+        target_prefix,
+        F.struct(
+            F.coalesce(F.col("_docker.log"), F.col("_cri.message")).alias("message"),
+            F.coalesce(F.col("_docker.stream"), F.col("_cri.stream")).alias("stream"),
+            F.coalesce(F.col("_docker.time"), F.col("_cri.ts_raw")).alias("ts_raw"),
+        ),
+    ).drop("_docker", "_cri")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Batch sessionization with idle-timeout semantics — packetbeat flows'
+    `timeout` eviction (packetbeat/flows/worker.go:233-290) expressed as a
+    gap-boundary cumsum (dialect-portable; the streaming flavor uses
+    session_window, beats_spark/streaming/pipeline.py).
+
+    A new session starts when the gap to the previous event in the key
+    exceeds gap_seconds. Emits one row per (key, session) with span + count.
+    """
+    w = W.partitionBy(key_col).orderBy(order_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    starts = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    cum = W.partitionBy(key_col).orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = df.withColumn("_sess", F.sum(starts).over(cum).cast("long"))
+    return (
+        sess.groupBy(key_col, "_sess")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(order_col).alias("first_idx"),
+            F.max(order_col).alias("last_idx"),
+            F.date_format(F.min(ts_col), "yyyy-MM-dd'T'HH:mm:ss").alias("session_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd'T'HH:mm:ss").alias("session_end"),
+        )
+        .withColumnRenamed("_sess", "session_seq")
+    )
+
+
 def decompress_gzip_field(df: DataFrame, field: str, target: str | None = None,
                           ignore_failure: bool = True) -> DataFrame:
     """Gunzip a binary column via a vectorized pandas UDF (zlib is the

@@ -1109,6 +1109,37 @@ def q_response_pairs(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+@register(
+    "sessionize",
+    oracle_cte()
+    + """
+, gaps AS (
+  SELECT conv_id, turn_idx, ts,
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY conv_id
+                                                      ORDER BY turn_idx))) AS gap
+  FROM transcripts
+), marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 43200 THEN 1 ELSE 0 END AS st
+  FROM gaps
+), sess AS (
+  SELECT *, CAST(sum(st) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT conv_id, session_seq, count(*) AS n_events,
+       min(turn_idx) AS first_idx, max(turn_idx) AS last_idx,
+       strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS session_end
+FROM sess GROUP BY conv_id, session_seq
+""",
+)
+def q_sessionize(spark, sf_dir):
+    from beats_spark.operators.misc import sessionize
+
+    t = load_transcripts(spark, sf_dir)
+    return sessionize(t, gap_seconds=43200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
