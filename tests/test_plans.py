@@ -1,0 +1,71 @@
+"""Physical-plan regression gates: the optimizations the 100 TB posture
+depends on must stay visible in `.explain` — broadcast enrich joins, a
+single fused Arrow UDF, column pruning to the scan, no sort-merge joins or
+extra shuffles sneaking into the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.data.transcripts import load_transcripts
+from beats_spark.pipeline import full_pipeline
+
+from .conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    jdf = df._jdf
+    spark = df.sparkSession
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+def _nodes(plan: str) -> list[str]:
+    """Operator names from the formatted plan's detail section —
+    '(n) NodeName' lines (each node appears once there)."""
+    import re
+
+    return [m.group(1) for m in re.finditer(r"^\(\d+\) (\w+)", plan, re.M)]
+
+
+def test_pipeline_plan_shape(spark):
+    nodes = _nodes(_formatted_plan(full_pipeline(spark, SF_SMOKE)))
+    # lookups must broadcast — a sort-merge join would shuffle the fact side
+    assert nodes.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in nodes
+    # the whole grok bank runs as ONE fused Arrow UDF stage
+    assert nodes.count("ArrowEvalPython") == 1
+    # one shuffle exchange (the derivation window; a real transcript table
+    # needs none) + two broadcast exchanges. More = stage-chain regression.
+    assert nodes.count("Exchange") == 1
+    assert nodes.count("BroadcastExchange") == 2
+
+
+def test_column_pruning_reaches_scan(spark):
+    pruned = load_transcripts(spark, SF_SMOKE).select("conv_id", "turn_idx")
+    plan = _formatted_plan(pruned)
+    # only the columns the derivation needs for these outputs are read
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "event_type" not in read and "props" not in read
+    assert "user_id" in read
+
+
+def test_broadcast_threshold_not_disabled(spark):
+    assert int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")) > 0
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_no_collect_in_hot_path(spark):
+    # operator stages must be a single lazy DAG: after the source read
+    # (whose schema inference runs one metadata job), building
+    # parse→enrich→route triggers ZERO jobs — a collect()/count() hiding in
+    # an operator would show up here
+    from beats_spark.pipeline import enrich_stage, parse_stage, route_stage
+
+    tdf = load_transcripts(spark, SF_SMOKE)  # read + schema job allowed
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    routed = route_stage(enrich_stage(parse_stage(tdf)))
+    _ = routed.columns
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before)
