@@ -31,15 +31,23 @@ def keep_event(df: DataFrame, when: dict) -> DataFrame:
 
 def drop_fields(df: DataFrame, fields: list[str], ignore_missing: bool = True) -> DataFrame:
     """Delete listed columns; '/regex/' entries match against the column set
-    (drop_fields.go:78-90)."""
+    (drop_fields.go:78-90). Dot-paths drop nested struct fields
+    (`parsed.level` → Column.dropFields), matching mapstr deep deletes."""
     to_drop: list[str] = []
+    nested: dict[str, list[str]] = {}
     for f in fields:
         if f.startswith("/") and f.endswith("/"):
             pat = re.compile(f[1:-1])
             to_drop += [c for c in df.columns if pat.search(c)]
+        elif "." in f and f.split(".", 1)[0] in df.columns:
+            top, rest = f.split(".", 1)
+            nested.setdefault(top, []).append(rest)
         elif f in df.columns or not ignore_missing:
             to_drop.append(f)
-    return df.drop(*to_drop)
+    out = df.drop(*to_drop)
+    for top, rests in nested.items():
+        out = out.withColumn(top, F.col(top).dropFields(*rests))
+    return out
 
 
 def include_fields(df: DataFrame, fields: list[str], mandatory: list[str] | None = None) -> DataFrame:

@@ -130,3 +130,13 @@ def test_add_fields_merge(spark):
     assert out.first().fields.asDict() == {"dc": "eu", "env": "prod"}
     out2 = E.add_fields(out, {"env": "dev", "extra": "x"})
     assert out2.first().fields.asDict() == {"dc": "eu", "env": "dev", "extra": "x"}
+
+
+def test_drop_fields_nested(spark):
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "s", F.struct(F.lit("a").alias("x"), F.lit("b").alias("y"),
+                      F.lit("c").alias("z"))
+    )
+    out = FL.drop_fields(df, ["s.x", "s.z"])
+    assert out.schema["s"].dataType.fieldNames() == ["y"]
+    assert out.first().s.y == "b"
