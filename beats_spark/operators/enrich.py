@@ -213,8 +213,23 @@ def translate(
 
     At 100 TB the fact side never shuffles: the lookup is broadcast to every
     executor and the join is map-side. `defaults` fills unmatched rows.
+
+    Duplicate lookup keys would silently MULTIPLY fact rows through the
+    join; the reference's map-backed lookups can't do that, so we keep one
+    deterministic row per key (lowest by the remaining columns' order).
     """
     lk = lookup_key or key
+    from pyspark.sql import Window as W
+
+    others = [c for c in lookup.columns if c != lk]
+    lookup = (
+        lookup.withColumn(
+            "_lk_rn",
+            F.row_number().over(W.partitionBy(lk).orderBy(*[F.col(c) for c in others])),
+        )
+        .filter(F.col("_lk_rn") == 1)
+        .drop("_lk_rn")
+    )
     joined = df.join(
         F.broadcast(lookup.withColumnRenamed(lk, f"__lk_{key}")),
         df[key] == F.col(f"__lk_{key}"),
