@@ -325,10 +325,16 @@ def _convert_series(col: pd.Series, dtype: str | None) -> pd.Series:
         return col
     if dtype in ("integer", "long"):
         base = pd.to_numeric(col, errors="coerce")
-        hexmask = col.str.match(r"^[+-]?0[xX]", na=False)
-        if hexmask.any():
-            base = base.astype("object")
-            base[hexmask] = col[hexmask].map(lambda x: _convert_scalar(x, "long"))
+        # hex literals fail to_numeric; only re-inspect those failures
+        # instead of regex-scanning the whole column (hot-path cost)
+        miss = base.isna() & col.notna()
+        if miss.any():
+            hexmask = miss & col[miss].reindex(col.index).str.match(
+                r"^[+-]?0[xX]", na=False
+            )
+            if hexmask.any():
+                base = base.astype("object")
+                base[hexmask] = col[hexmask].map(lambda x: _convert_scalar(x, "long"))
         return pd.Series(base, index=col.index).astype("Int64")
     if dtype in ("float", "double"):
         return pd.to_numeric(col, errors="coerce").astype("float64")

@@ -175,8 +175,58 @@ class GrokBank:
                     types[name] = dtype
         self.output_keys = keys
         self.key_types = types
+        self._build_combined()
+
+    def _build_combined(self) -> None:
+        """Fast path: ONE alternation regex over the whole bank — a single
+        vectorized pass instead of one per pattern (measured ~1.8×).
+
+        Only valid when every pattern is start-anchored: `re` alternation
+        prefers the earliest match POSITION over alternative order, so
+        unanchored patterns could violate the bank's first-match-wins
+        priority. Each alternative carries an empty sentinel group so we
+        know which pattern matched a row."""
+        self._combined = None
+        if not all(g.pattern.pattern.startswith("^") for g in self.groks):
+            return
+        parts = []
+        for i, g in enumerate(self.groks):
+            pat = re.sub(r"\(\?P<(g\d+)>", rf"(?P<p{i}_\1>", g.pattern.pattern)
+            pat = re.sub(r"\(\?P=(g\d+)", rf"(?P=p{i}_\1", pat)
+            parts.append(f"(?:(?P<p{i}m>){pat})")
+        try:
+            self._combined = re.compile("|".join(parts))
+        except re.error:
+            self._combined = None  # group-count limits etc. → sequential path
 
     def grok_frame(self, s: pd.Series) -> pd.DataFrame:
+        if self._combined is not None:
+            return self._grok_frame_combined(s)
+        return self._grok_frame_sequential(s)
+
+    def _grok_frame_combined(self, s: pd.Series) -> pd.DataFrame:
+        ext = s.astype("object").str.extract(self._combined, expand=True)
+        from beats_spark.dissect import _convert_series
+
+        # an unmatched alternative's groups are already NaN, so per field a
+        # plain column take suffices; fields owned by several patterns
+        # coalesce in priority order (a row matches exactly one alternative)
+        cols: dict[str, pd.Series] = {}
+        for i, g in enumerate(self.groks):
+            for (name, _), gname in zip(g.fields, g._group_names):
+                c = ext[f"p{i}_{gname}"]
+                cols[name] = c if name not in cols else cols[name].combine_first(c)
+        out = pd.DataFrame(index=s.index)
+        for name in self.output_keys:
+            dtype = self.key_types[name]
+            col = cols[name]
+            out[name] = _convert_series(col, dtype) if dtype != "string" else col
+        out["_grok_matched"] = (
+            ext[[f"p{i}m" for i in range(len(self.groks))]].notna().any(axis=1)
+        )
+        return out
+
+    def _grok_frame_sequential(self, s: pd.Series) -> pd.DataFrame:
         out: pd.DataFrame | None = None
         matched = pd.Series(False, index=s.index)
         for g in self.groks:
