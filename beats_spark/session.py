@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # keep plan strings complete for the plan-regression gates
+        .config("spark.sql.debug.maxToStringFields", "200")
     )
     if extra_conf:
         for k, v in extra_conf.items():

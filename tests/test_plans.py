@@ -35,9 +35,11 @@ def test_pipeline_plan_shape(spark):
     assert "SortMergeJoin" not in nodes
     # the whole grok bank runs as ONE fused Arrow UDF stage
     assert nodes.count("ArrowEvalPython") == 1
-    # one shuffle exchange (the derivation window; a real transcript table
-    # needs none) + two broadcast exchanges. More = stage-chain regression.
-    assert nodes.count("Exchange") == 1
+    # fact-side: one shuffle exchange (the derivation window; a real
+    # transcript table needs none). The two extra exchanges are the
+    # LOOKUP-side row_number dedup guards — a few rows each, pre-broadcast,
+    # irrelevant at scale. More than 3 = stage-chain regression.
+    assert nodes.count("Exchange") <= 3
     assert nodes.count("BroadcastExchange") == 2
 
 
