@@ -1109,6 +1109,24 @@ def q_response_pairs(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+@register("media_decode")
+def q_media_decode(spark, sf_dir):
+    """Multimodal plumbing under the rows-only gate: synthesize binary
+    media from documents, decode via mapInPandas, aggregate stats."""
+    import beats_spark.multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = M.synthesize_media(docs)
+    decoded = M.decode_media(media)
+    return decoded.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.min("width").alias("min_w"),
+        F.max("height").alias("max_h"),
+        F.sum("byte_len").alias("total_bytes"),
+    )
+
+
 @register(
     "sessionize",
     oracle_cte()
