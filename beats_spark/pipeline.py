@@ -87,6 +87,40 @@ def sink_aggregates(routed: DataFrame) -> DataFrame:
     )
 
 
+def combined_aggregates(written: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Per-sink aggregates AND conversation rollups in ONE scan via
+    GROUPING SETS ((_sink, role), (conv_id)) — the read-back side of the
+    headline job would otherwise scan the written sinks twice. Returns
+    (sink_aggs, conv_rollups-lite); the tiny grouped output is split by
+    grouping level afterwards (a filter on aggregate rows, not a rescan)."""
+    written.createOrReplaceTempView("_routed_sinks")
+    spark = written.sparkSession
+    tool_call = (
+        "CASE WHEN tool IS NOT NULL AND tool <> '' AND tool <> 'none' "
+        "THEN 1 ELSE 0 END"
+    )
+    both = spark.sql(f"""
+        SELECT _sink, role, conv_id,
+               grouping(conv_id) AS g_conv,
+               count(*) AS turn_count,
+               sum({tool_call}) AS tool_call_count,
+               count(DISTINCT conv_id) AS n_convs,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM _routed_sinks
+        GROUP BY GROUPING SETS ((_sink, role), (conv_id))
+    """)
+    sink_aggs = both.filter("g_conv = 1").select(
+        "_sink", "role", "turn_count", "tool_call_count", "n_convs"
+    )
+    rollups = both.filter("g_conv = 0").select(
+        "conv_id",
+        F.col("turn_count").alias("n_turns"),
+        "first_ts", "last_ts",
+        F.col("tool_call_count").alias("total_tool_calls"),
+    )
+    return sink_aggs, rollups
+
+
 def conv_rollups(df: DataFrame) -> DataFrame:
     """Conversation-level rollups via window over (conv_id, turn_idx)."""
     w = W.partitionBy("conv_id").orderBy("turn_idx")

@@ -38,11 +38,7 @@ def run_headline(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
     written sinks (the pipeline executes once; downstream aggregation reads
     the much smaller columnar sink output — the shape a 100 TB run uses).
     Returns (seconds, turns)."""
-    from beats_spark.pipeline import (
-        conv_rollups,
-        full_pipeline,
-        sink_aggregates,
-    )
+    from beats_spark.pipeline import combined_aggregates, full_pipeline
     from beats_spark.routing import fan_out
 
     out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
@@ -51,8 +47,9 @@ def run_headline(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
         routed = full_pipeline(spark, sf_dir, replicate=replicate)
         fan_out(routed, out_dir)
         written = spark.read.parquet(out_dir)
-        aggs = sink_aggregates(written).collect()
-        rolls = conv_rollups(written).count()
+        sink_aggs, rollups = combined_aggregates(written)
+        aggs = sink_aggs.collect()
+        rolls = rollups.count()
         elapsed = time.time() - t0
         turns = sum(r.turn_count for r in aggs)
         assert rolls > 0

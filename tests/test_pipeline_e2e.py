@@ -140,3 +140,15 @@ def test_drop_fields_nested(spark):
     out = FL.drop_fields(df, ["s.x", "s.z"])
     assert out.schema["s"].dataType.fieldNames() == ["y"]
     assert out.first().s.y == "b"
+
+
+def test_combined_aggregates_matches_separate(routed):
+    from beats_spark.pipeline import combined_aggregates
+
+    sink_aggs, rollups = combined_aggregates(routed)
+    sep_aggs = sink_aggregates(routed)
+    assert sink_aggs.exceptAll(sep_aggs).count() == 0
+    assert sep_aggs.exceptAll(sink_aggs).count() == 0
+    sep_roll = conv_rollups(routed)
+    assert rollups.exceptAll(sep_roll).count() == 0
+    assert sep_roll.exceptAll(rollups).count() == 0
