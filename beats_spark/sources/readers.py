@@ -30,29 +30,40 @@ def read_lines(
     line_sep: str | None = None,
     max_bytes: int | None = None,
     flag_truncated: bool = True,
+    dense_offsets: bool = True,
 ) -> DataFrame:
     """Charset-decoded line reader with per-file offsets.
 
-    Columns: source (file path), offset (0-based line number within the
-    file — the resume cursor), text. max_bytes caps line length like the
-    limit reader (readfile/limit.go), flagging truncated lines.
+    Columns: source (file path), offset, text. max_bytes caps line length
+    like the limit reader (readfile/limit.go), flagging truncated lines.
+
+    dense_offsets=True gives 0-based line numbers — but the row_number
+    window coalesces EACH FILE into one task (fine for log-rotation-sized
+    files, wrong for huge ones). dense_offsets=False is the scale path: the
+    cursor is (split byte offset × 2^20 + row-within-split), shuffle-free
+    and strictly ordered within a file — the same byte-cursor semantics
+    Beats' registrar actually persists (filestream tracks byte offsets,
+    input.go:686), just not dense.
     """
     r = spark.read.option("encoding", encoding)
     if line_sep:
         r = r.option("lineSep", line_sep)
-    df = (
-        r.text(path)
-        .select(
-            F.input_file_name().alias("source"),
-            F.col("value").alias("text"),
-        )
-        .withColumn(
+    base = r.text(path).select(
+        F.input_file_name().alias("source"),
+        F.col("value").alias("text"),
+    )
+    if dense_offsets:
+        df = base.withColumn(
             "offset",
             F.row_number().over(
                 W.partitionBy("source").orderBy(F.monotonically_increasing_id())
             ) - 1,
         )
-    )
+    else:
+        # monotonically_increasing_id = (partition_id << 33) + row-in-
+        # partition; split partitions follow block order, so this is
+        # strictly increasing within every file with ZERO shuffles
+        df = base.withColumn("offset", F.monotonically_increasing_id())
     if max_bytes is not None:
         from beats_spark.operators.parse import add_flag
 

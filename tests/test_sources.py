@@ -70,3 +70,21 @@ def test_reader_chain_gzip_encoding(spark, tmp_path):
         fh.write("héllo wörld\nsecond\n")
     out = sorted(read_lines(spark, str(f)).collect())
     assert [r.text for r in out] == ["héllo wörld", "second"]
+
+
+def test_read_lines_scalable_cursor(spark, tmp_path):
+    # dense_offsets=False: shuffle-free cursor, strictly increasing per file
+    d = tmp_path / "big"
+    d.mkdir()
+    _write(d / "a.log", [f"a{i}" for i in range(100)])
+    _write(d / "b.log", [f"b{i}" for i in range(100)])
+    out = read_lines(spark, str(d), dense_offsets=False).collect()
+    per = {}
+    for r in out:
+        per.setdefault(os.path.basename(r.source), []).append((r.offset, r.text))
+    for src, rows in per.items():
+        rows.sort()
+        texts = [t for _, t in rows]
+        assert texts == sorted(texts, key=lambda s: int(s[1:]))  # file order
+        offs = [o for o, _ in rows]
+        assert offs == sorted(set(offs))  # strictly increasing, unique
