@@ -126,3 +126,32 @@ def test_token_bucket_stateful(spark, tmp_path):
     counts = {r.key: r.n for r in got.groupBy("key").agg(F.count("*").alias("n")).collect()}
     assert counts["k1"] == 3  # burst exhausted within one second
     assert counts["k2"] == 4  # refill rate 1/s covers 5s spacing
+
+
+def test_stream_cache_enrich_cross_batch(spark, tmp_path):
+    from beats_spark.streaming.stateful import stream_cache_enrich
+
+    base = datetime.datetime(2024, 1, 1)
+    # batch files processed in order (maxFilesPerTrigger=1): put in file 0
+    # must enrich gets in file 1 (state survives micro-batches)
+    src = tmp_path / "cache_src"
+    src.mkdir()
+    rows0 = [("k1", "put", "v1", base)]
+    rows1 = [
+        ("k1", "get", None, base + datetime.timedelta(seconds=30)),
+        ("k2", "get", None, base + datetime.timedelta(seconds=30)),
+    ]
+    schema = "key string, op string, value string, ts timestamp"
+    spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    enriched = stream_cache_enrich(sdf, "key", "op", "value", ttl_seconds=3600)
+    got = _run_memory_stream(spark, enriched, "cache_t")
+    rows = {(r.key, r.op): r.cached_value for r in got.collect()}
+    assert rows[("k1", "get")] == "v1"  # put from earlier batch visible
+    assert rows[("k2", "get")] is None  # miss
+    assert rows[("k1", "put")] is None  # puts pass through unenriched
