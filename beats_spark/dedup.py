@@ -174,42 +174,32 @@ def minhash_dedup(
 # -- simhash (vectorized numpy over Arrow batches) ---------------------------
 
 
-_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    # FNV-1a 64-bit, vectorizable enough at batch level; deterministic
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for j, t in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[j] = h
-    return out
-
-
 def simhash_series(texts: pd.Series) -> pd.Series:
-    """64-bit simhash per text: sign of per-bit sum of token-hash bits."""
-    bits = np.arange(64, dtype=np.uint64)
-    res = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            res[i] = 0
-            continue
-        toks = str(t).lower().split()
-        if not toks:
-            res[i] = 0
-            continue
-        hs = _token_hashes(toks)  # (n,)
-        # (n, 64) bit matrix → column sums → sign
-        bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
-        votes = bitmat.sum(axis=0) * 2 - len(toks)  # (+1/-1 votes)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        res[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(res)
+    """64-bit simhash per text: sign of per-bit sum of token-hash bits.
+
+    Fully batch-vectorized: all tokens of the Arrow batch are flattened
+    into one array, hashed in one `pd.util.hash_array` call (deterministic
+    64-bit siphash with a fixed key), expanded to a bit matrix, and
+    segment-summed per document — zero per-token Python."""
+    tok_lists = texts.map(
+        lambda t: str(t).lower().split() if t is not None else []
+    )
+    lengths = tok_lists.map(len).to_numpy()
+    n_docs = len(texts)
+    sig = np.zeros(n_docs, dtype=np.int64)
+    if lengths.sum() == 0:
+        return pd.Series(sig, index=texts.index)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    hashes = pd.util.hash_array(flat)  # (N,) uint64, deterministic
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32)  # (N, 64)
+    doc_ids = np.repeat(np.arange(n_docs), lengths)
+    sums = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(sums, doc_ids, bits)
+    votes = sums * 2 - lengths[:, None]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    packed = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return pd.Series(packed.astype(np.int64), index=texts.index)
 
 
 def simhash(df: DataFrame, text_col: str = "text", target: str = "simhash") -> DataFrame:
