@@ -16,6 +16,9 @@ from .conftest import SF_SMOKE
 def _formatted_plan(df) -> str:
     jdf = df._jdf
     spark = df.sparkSession
+    # earlier test modules may have cached overlapping plan fragments,
+    # which would swap scans for InMemoryTableScan in these plans
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return jdf.queryExecution().explainString(mode)
