@@ -22,3 +22,24 @@ Design notes (scale-first):
 __version__ = "0.1.0"
 
 from beats_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import beats_spark` JVM-free):
+
+    compile_pipeline, compile_condition, route, fan_out, full_pipeline —
+    the main library entry points, importable as `beats_spark.<name>`."""
+    lazy = {
+        "compile_pipeline": ("beats_spark.compiler", "compile_pipeline"),
+        "compile_condition": ("beats_spark.conditions", "compile_condition"),
+        "route": ("beats_spark.routing", "route"),
+        "fan_out": ("beats_spark.routing", "fan_out"),
+        "full_pipeline": ("beats_spark.pipeline", "full_pipeline"),
+        "reader_chain": ("beats_spark.sources", "reader_chain"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'beats_spark' has no attribute {name!r}")
