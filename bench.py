@@ -55,6 +55,7 @@ def run_headline(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
         assert rolls > 0
         return elapsed, turns
     finally:
+        spark.catalog.clearCache()  # drop the mid-grain persist between runs
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
