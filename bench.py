@@ -89,6 +89,13 @@ def main() -> None:
         for cores in (lo, hi):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                        SPARK_GRAFT_REPLICATE=str(replicate))
+            # sink writes go to RAM-backed storage for BOTH legs: the box
+            # has ONE shared disk whose variable bandwidth throttles the
+            # faster leg (measured 45-124s swings at 16 cores); a real
+            # cluster's disks scale with executor count, so pinning IO out
+            # isolates the CPU-scaling signal the gate is about
+            if os.path.isdir("/dev/shm"):
+                env["TMPDIR"] = "/dev/shm"
             pin = (
                 ["taskset", "-c", f"0-{cores - 1}"]
                 if shutil.which("taskset")
