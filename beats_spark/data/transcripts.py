@@ -112,7 +112,7 @@ def load_transcripts(
             # spread the (single-file) source across tasks FIRST so the K×
             # expansion itself is parallel — otherwise one scan task emits
             # all K·N rows and serializes the job
-            events.repartition(spark.sparkContext.defaultParallelism)
+            events.repartition(3 * spark.sparkContext.defaultParallelism)
             .crossJoin(F.broadcast(reps))
             .withColumn("user_id", F.col("user_id") + F.col("_rep") * 10_000_000)
             .withColumn("event_id", F.col("event_id") + F.col("_rep") * 1_000_000_000)

