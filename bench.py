@@ -82,7 +82,7 @@ def main() -> None:
         # budget — the honest emulation of an N-core executor allotment
         # (without pinning, python workers silently use extra host cores and
         # the small "cluster" outperforms its nominal size).
-        replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "200"))
+        replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "300"))
         pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16")
         lo, hi = (int(c) for c in pair.split(","))
         results = {}
