@@ -74,30 +74,49 @@ def checkpointed_fan_out(
     Scale note: per-sink writes here filter the routed frame once per sink.
     For the throughput path use routing.fan_out (single-pass partitionBy);
     this writer is the RESUMABLE path — per-sink atomic commit + manifest is
-    what buys checkpoint/restart, trading one extra scan per uncommitted
-    sink. With Iceberg both combine (branch writes + snapshot per sink).
-    A production run caches the routed frame or writes it to a staging table
-    first, so resume re-reads staging rather than recomputing the DAG.
+    what buys checkpoint/restart. With Iceberg both combine (branch writes +
+    snapshot per sink). The routed frame is persisted inside the function so
+    the upstream DAG computes ONCE (populated by the sink-discovery pass);
+    per-sink row counts come from the freshly written files (cheap columnar
+    count — parquet footer metadata), never from re-running the lineage.
     """
+    spark = routed.sparkSession
     manifest = read_manifest(base)
     if manifest.get("job_id") != job_id:
+        # a new job invalidates every previous commit: remove sink dirs the
+        # old manifest committed, else a run routing to fewer/different
+        # sinks leaves stale `_sink=*` data that spark.read.parquet(base)
+        # would silently union in. (Local FS here; on S3/HDFS this is the
+        # same recursive-delete call via the Hadoop FileSystem API.)
+        import shutil
+
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith(f"{target}="):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         manifest = {"job_id": job_id, "sinks": {}, "started_at": time.time()}
         _write_manifest(base, manifest)
 
-    sinks = [r[0] for r in routed.select(target).distinct().collect()]
-    done = 0
-    for sink in sorted(sinks):
-        if sink in manifest["sinks"]:
-            continue  # committed by a previous attempt — resume skips it
-        part = routed.filter(F.col(target) == sink).drop(target)
-        path = os.path.join(base, f"{target}={sink}")
-        part.write.format(file_format).mode("overwrite").save(path)
-        rows = part.count()
-        manifest["sinks"][sink] = {"rows": rows, "committed_at": time.time()}
-        _write_manifest(base, manifest)
-        done += 1
-        if fail_after is not None and done >= fail_after:
-            raise RuntimeError(f"simulated crash after {done} sink commits")
+    routed = routed.persist()
+    try:
+        # this pass materializes the cache; every per-sink write below reads
+        # the cached partitions instead of recomputing parse→enrich→route
+        sinks = [r[0] for r in routed.select(target).distinct().collect()]
+        done = 0
+        for sink in sorted(sinks):
+            if sink in manifest["sinks"]:
+                continue  # committed by a previous attempt — resume skips it
+            part = routed.filter(F.col(target) == sink).drop(target)
+            path = os.path.join(base, f"{target}={sink}")
+            part.write.format(file_format).mode("overwrite").save(path)
+            rows = spark.read.format(file_format).load(path).count()
+            manifest["sinks"][sink] = {"rows": rows, "committed_at": time.time()}
+            _write_manifest(base, manifest)
+            done += 1
+            if fail_after is not None and done >= fail_after:
+                raise RuntimeError(f"simulated crash after {done} sink commits")
+    finally:
+        routed.unpersist()
     return manifest
 
 

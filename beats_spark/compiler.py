@@ -173,6 +173,18 @@ def _conditional_apply(op: Transform, cond_cfg: dict) -> Transform:
                 )
             else:  # newly added column: null on non-match
                 out = out.withColumn(c, F.when(F.col("_when"), F.col(c)))
+        for c, s in stashes.items():
+            # column dropped/renamed away by the op (rename, drop_fields,
+            # include_fields, move_fields): WhenProcessor semantics say
+            # non-matching rows pass through UNTOUCHED, so restore their
+            # pre-image; matching rows keep the op's removal (null).
+            if c not in out.columns:
+                out = out.withColumn(
+                    c,
+                    F.when(
+                        F.col("_when"), F.lit(None).cast(df.schema[c].dataType)
+                    ).otherwise(F.col(s)),
+                )
         return out.drop("_when", *stashes.values())
 
     return run

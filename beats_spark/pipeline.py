@@ -74,16 +74,26 @@ def full_pipeline(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataF
 def sink_aggregates(routed: DataFrame) -> DataFrame:
     """Per-sink per-role aggregate counts — the per-sink turn/tool-call counts
     from the north rule (≅ pipeline monitoring counters,
-    publisher/pipeline/monitoring.go:24-179)."""
-    return routed.groupBy("_sink", "role").agg(
-        F.count("*").alias("turn_count"),
+    publisher/pipeline/monitoring.go:24-179).
+
+    Exact-distinct via the mid-grain two-stage shape (same plan as
+    combined_aggregates): aggregate once at (_sink, role, conv_id), then
+    count mid-grain rows per (_sink, role). No Expand node — the
+    countDistinct rewrite's expand measured 1.5× slower at 16 cores, and
+    test_plans.py asserts its absence."""
+    mid = routed.groupBy("_sink", "role", "conv_id").agg(
+        F.count("*").alias("_tc"),
         F.sum(
             F.when(
                 F.col("tool").isNotNull() & (F.col("tool") != "") & (F.col("tool") != "none"),
                 1,
             ).otherwise(0)
-        ).alias("tool_call_count"),
-        F.countDistinct("conv_id").alias("n_convs"),
+        ).alias("_tcc"),
+    )
+    return mid.groupBy("_sink", "role").agg(
+        F.sum("_tc").alias("turn_count"),
+        F.sum("_tcc").alias("tool_call_count"),
+        F.count("*").alias("n_convs"),
     )
 
 

@@ -208,10 +208,15 @@ FROM transcripts GROUP BY 1
 """,
 )
 def q_route_counts(spark, sf_dir):
+    # exact distinct via mid-grain (sink, conv_id) two-stage agg — no
+    # countDistinct Expand (see pipeline.sink_aggregates)
     routed = full_pipeline(spark, sf_dir)
-    return routed.groupBy(F.col("_sink").alias("sink")).agg(
-        F.count("*").alias("n_rows"),
-        F.countDistinct("conv_id").alias("n_convs"),
+    mid = routed.groupBy(F.col("_sink").alias("sink"), "conv_id").agg(
+        F.count("*").alias("_n")
+    )
+    return mid.groupBy("sink").agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("*").alias("n_convs"),
     )
 
 
@@ -374,11 +379,13 @@ FROM (SELECT sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS fp
 """,
 )
 def q_fingerprint(spark, sf_dir):
+    # mid-grain per-fp counts, then one tiny global agg — no distinct Expand
     t = load_transcripts(spark, sf_dir)
     fp = E.fingerprint(t, ["conv_id", "turn_idx"], target="fp")
-    return fp.agg(
-        F.countDistinct("fp").alias("distinct_fps"),
-        F.count("*").alias("n_rows"),
+    mid = fp.groupBy("fp").agg(F.count("*").alias("_n"))
+    return mid.agg(
+        F.count("*").alias("distinct_fps"),
+        F.sum("_n").alias("n_rows"),
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
@@ -430,13 +437,18 @@ FROM transcripts GROUP BY 1, 2
 """,
 )
 def q_flows_window(spark, sf_dir):
+    # mid-grain (window, role, conv_id) two-stage — exact distinct, no Expand
     t = load_transcripts(spark, sf_dir)
+    mid = t.groupBy(F.window("ts", "1 hour").alias("w"), "role", "conv_id").agg(
+        F.count("*").alias("_n"),
+        F.sum(_tool_call_col()).alias("_tcc"),
+    )
     return (
-        t.groupBy(F.window("ts", "1 hour").alias("w"), "role")
+        mid.groupBy("w", "role")
         .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("conv_id").alias("n_convs"),
-            F.sum(_tool_call_col()).alias("tool_calls"),
+            F.sum("_n").alias("n_events"),
+            F.count("*").alias("n_convs"),
+            F.sum("_tcc").alias("tool_calls"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),

@@ -26,10 +26,27 @@ def salt(df: DataFrame, key: str, buckets: int, salt_on: str | None = None) -> D
     `salt_on`: a column whose hash picks the bucket (default: a per-row
     uniform spread via the row's natural secondary key when present). Using
     a real column (not rand()) keeps the pipeline deterministic/replayable.
+
+    When neither `salt_on` nor a natural secondary key exists, the salt
+    hashes ALL columns — hashing the skew key itself would put every row of
+    the hot key in one bucket, silently defeating the salt.
     """
-    src = salt_on or ("turn_idx" if "turn_idx" in df.columns else key)
+    if salt_on:
+        srcs = [F.col(salt_on)]
+    elif "turn_idx" in df.columns:
+        srcs = [F.col("turn_idx")]
+    else:
+        import warnings
+
+        warnings.warn(
+            f"salt(): no salt_on and no secondary key column; hashing all "
+            f"columns — pass salt_on= for a cheaper deterministic spread "
+            f"(key={key!r})",
+            stacklevel=2,
+        )
+        srcs = [F.col(c) for c in df.columns]
     return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.col(src)), F.lit(buckets)).cast("int")
+        SALT_COL, F.pmod(F.xxhash64(*srcs), F.lit(buckets)).cast("int")
     )
 
 

@@ -70,11 +70,14 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    if getattr(_ship_package, "_done", False):
+    # guard keyed on the live application, not the process: after
+    # spark.stop() a fresh SparkContext needs its own addPyFile
+    app_id = spark.sparkContext.applicationId
+    if getattr(_ship_package, "_app_id", None) == app_id:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     if "site-packages" in pkg_dir or "dist-packages" in pkg_dir:
-        _ship_package._done = True
+        _ship_package._app_id = app_id
         return  # properly installed — workers resolve it themselves
     fd, zip_path = tempfile.mkstemp(suffix="_beats_spark.zip")
     os.close(fd)
@@ -90,4 +93,4 @@ def _ship_package(spark: SparkSession) -> None:
                     )
                     z.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
-    _ship_package._done = True
+    _ship_package._app_id = app_id

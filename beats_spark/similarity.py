@@ -226,14 +226,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-flat: centroids = deterministic sample (every N/n_cells-th vector
-    by id — at real scale substitute a k-means fit on a sample), vectors
+    """IVF-flat: centroids = deterministic distributed sample, vectors
     assigned to their nearest cell, queries probe the `n_probe` nearest
-    cells, exact cosine within probed cells."""
-    ids = [r[0] for r in vectors.select(id_col).orderBy(id_col).collect()[::max(1, vectors.count() // n_cells)]][:n_cells]
+    cells, exact cosine within probed cells.
+
+    Centroid pick is the `n_cells` vectors with the smallest xxhash64(id) —
+    a uniform pseudo-random but fully deterministic sample. Spark plans
+    orderBy().limit(k) as TakeOrderedAndProject: each partition keeps its
+    local top-k and only n_cells rows ever reach the driver, so this holds
+    at 10^9+ vectors (the round-1 version collected EVERY id — driver OOM
+    at scale). A k-means refinement would start from this same sample and
+    iterate with groupBy-mean in Spark; for IVF-flat recall at moderate
+    n_cells the hash sample is the standard seeding."""
     cents = (
-        vectors.filter(F.col(id_col).isin(ids))
-        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
+        vectors.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
+        .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
+        .limit(n_cells)
     )
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))

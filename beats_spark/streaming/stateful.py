@@ -64,9 +64,10 @@ def stream_cache_enrich(
             pdf = pdf.copy()
             pdf[target_col] = col
             outs.append(pdf)
-        if value is None:
-            state.update(("", float("-inf")))
-        else:
+        if value is not None:
+            # never seed state for a key with no put yet — a ('', -inf)
+            # sentinel would pass the `value is not None` freshness check on
+            # later micro-batches and make gets emit '' instead of null
             state.update((value, stored))
         yield pd.concat(outs)
 

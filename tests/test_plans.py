@@ -61,6 +61,45 @@ def test_broadcast_threshold_not_disabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
 
 
+def test_no_expand_in_distinct_aggregates(spark):
+    # exact-distinct counts go through the mid-grain two-stage shape; the
+    # countDistinct rewrite's Expand node (row-multiplying) must not return
+    from beats_spark.pipeline import sink_aggregates
+    from beats_spark.queries import QUERIES
+
+    routed = full_pipeline(spark, SF_SMOKE)
+    for name, df in {
+        "sink_aggregates": sink_aggregates(routed),
+        "route_counts": QUERIES["route_counts"](spark, SF_SMOKE),
+        "flows_window": QUERIES["flows_window"](spark, SF_SMOKE),
+        "fingerprint": QUERIES["fingerprint"](spark, SF_SMOKE),
+    }.items():
+        nodes = _nodes(_formatted_plan(df))
+        assert "Expand" not in nodes, f"{name} regressed to a distinct Expand"
+
+
+def test_ivf_no_driver_collect(spark):
+    # building the IVF plan must trigger zero jobs — the round-1 version
+    # collect()ed every vector id at centroid-pick time
+    import pyspark.sql.functions as SF
+
+    from beats_spark.similarity import ivf_topk
+
+    vecs = spark.range(200).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(*[SF.rand(seed=i + 1) for i in range(8)]).alias("embedding"),
+    )
+    queries = vecs.limit(3)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    out = ivf_topk(vecs, queries, k=5, n_cells=8, n_probe=3)
+    _ = out.columns
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before)
+    plan = _formatted_plan(out)
+    assert "TakeOrderedAndProject" in plan  # distributed top-K centroid pick
+
+
 def test_no_collect_in_hot_path(spark):
     # operator stages must be a single lazy DAG: after the source read
     # (whose schema inference runs one metadata job), building
