@@ -35,6 +35,7 @@ from beats_spark.conditions import compile_condition
 from beats_spark.operators import enrich as E
 from beats_spark.operators import filter as FL
 from beats_spark.operators import misc as MISC
+from beats_spark.operators import network as NET
 from beats_spark.operators import parse as P
 
 Transform = Callable[[DataFrame], DataFrame]
@@ -95,6 +96,11 @@ register_processor("timestamp")(lambda c: lambda df: P.timestamp(
     timezone=c.get("timezone")))
 register_processor("convert")(lambda c: lambda df: P.convert(
     df, c["fields"], ignore_missing=c.get("ignore_missing", False)))
+register_processor("decode_xml")(lambda c: lambda df: P.decode_xml(
+    df, c["field"], target=c.get("target_field"),
+    to_lower=c.get("to_lower", False),
+    ignore_failure=c.get("ignore_failure", False),
+    schema=c.get("schema")))
 
 # -- enrich ------------------------------------------------------------------
 
@@ -131,6 +137,18 @@ register_processor("add_formatted_index")(lambda c: lambda df:
     E.add_formatted_index(df, c["index"], ts_field=c.get("ts_field", "ts")))
 register_processor("timeseries")(lambda c: lambda df: E.timeseries_instance(
     df, c["dimensions"]))
+register_processor("community_id")(lambda c: lambda df: NET.community_id(
+    df, source_ip=c.get("source_ip", "source_ip"),
+    source_port=c.get("source_port", "source_port"),
+    destination_ip=c.get("destination_ip", "destination_ip"),
+    destination_port=c.get("destination_port", "destination_port"),
+    transport=c.get("transport", "transport"),
+    icmp_type=c.get("icmp_type"), icmp_code=c.get("icmp_code"),
+    seed=c.get("seed", 0), target=c.get("target", "community_id")))
+register_processor("registered_domain")(lambda c: lambda df: NET.registered_domain(
+    df, c["field"], target=c.get("target_field", "registered_domain"),
+    subdomain_target=c.get("target_subdomain_field"),
+    etld_target=c.get("target_etld_field")))
 
 # -- filter / drop -----------------------------------------------------------
 

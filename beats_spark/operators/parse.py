@@ -23,6 +23,7 @@ Reference processors:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,12 +56,15 @@ def _safe(name: str) -> str:
 ERROR_COL = "error"
 
 
-def set_error(df: DataFrame, cond: Column, message: str, etype: str = "parse") -> DataFrame:
+def set_error(
+    df: DataFrame, cond: Column, message: str | Column, etype: str = "parse"
+) -> DataFrame:
     """Populate the `error` struct column where cond holds — the
     SetErrorWithOption shape (libbeat/beat/event.go:303-316: failures write
     {message, type} under the reserved `error` key, existing value kept for
-    non-failing rows)."""
-    new = F.struct(F.lit(message).alias("message"), F.lit(etype).alias("type"))
+    non-failing rows). `message` may be a Column for per-row messages."""
+    msg = message if isinstance(message, Column) else F.lit(message)
+    new = F.struct(msg.alias("message"), F.lit(etype).alias("type"))
     if ERROR_COL in df.columns:
         return df.withColumn(
             ERROR_COL, F.when(cond, new).otherwise(F.col(ERROR_COL))
@@ -209,6 +213,108 @@ def decode_json_fields(
             out = add_flag(out, F.col(tgt).isNull() & F.col(f).isNotNull(),
                            "json_decode_error")
     return out
+
+
+def _xml_decode_batch(texts, to_lower: bool, prepend_hyphen_to_attr: bool):
+    """XML → nested-object JSON per the reference decoder's semantics
+    (/root/reference/libbeat/common/encoding/xml/decode.go:55-117):
+    leaf element → its trimmed cdata string; element with children/attrs →
+    object (non-empty cdata under '#text', attributes merged LAST so they
+    overwrite same-named children); repeated element names → array; the
+    retained cdata is the LAST character-data token in the element (later
+    tokens overwrite earlier, whitespace trims to '')."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    def key(s: str) -> str:
+        return s.lower() if to_lower else s
+
+    def conv(elem):
+        children = list(elem)
+        sub: dict = {}
+        for c in children:
+            cdata, cobj = conv(c)
+            add = cobj if cobj else cdata
+            k = key(c.tag)
+            if k in sub:
+                if isinstance(sub[k], list):
+                    sub[k].append(add)
+                else:
+                    sub[k] = [sub[k], add]
+            else:
+                sub[k] = add
+        last = None
+        for t in [elem.text] + [c.tail for c in children]:
+            if t is not None:
+                last = t
+        cdata = (last or "").strip()
+        # attrs merge AFTER children (overwriting same-named keys), and the
+        # non-empty/#text decision sees the attrs — decode.go:76-81,98
+        for aname, aval in elem.attrib.items():
+            k = key(aname)
+            sub[("-" + k) if prepend_hyphen_to_attr else k] = aval
+        if sub and cdata:
+            sub["#text"] = cdata
+        return cdata, sub
+
+    out_json, out_err = [], []
+    for text in texts:
+        if text is None:
+            out_json.append(None)
+            out_err.append(None)
+            continue
+        try:
+            root = ET.fromstring(text)
+            cdata, sub = conv(root)
+            obj = {key(root.tag): (sub if sub else cdata)}
+            out_json.append(json.dumps(obj, ensure_ascii=False))
+            out_err.append(None)
+        except ET.ParseError as ex:
+            out_json.append(None)
+            out_err.append(f"error decoding XML field: {ex}")
+    return out_json, out_err
+
+
+def decode_xml(
+    df: DataFrame,
+    field: str,
+    target: str | None = None,
+    to_lower: bool = False,
+    prepend_hyphen_to_attr: bool = False,
+    ignore_failure: bool = False,
+    schema: str | T.DataType | None = None,
+) -> DataFrame:
+    """decode_xml (reference:
+    /root/reference/libbeat/processors/decode_xml/decode_xml.go:97-128;
+    decoder semantics common/encoding/xml/decode.go:55-117).
+
+    The decoded document lands at `target` (default: overwrite `field`, the
+    reference's default) as a JSON string — the schemaless shape, queryable
+    with get_json_object / parse_json. Pass `schema` (DDL) to get a typed
+    struct via from_json instead (the Spark-native declared-schema path —
+    at scale prefer this: typed columns prune and filter at the scan).
+
+    Failures set `error_message` and null the target unless ignore_failure
+    (decode_xml.go:90-95). The decode itself is a vectorized pandas UDF —
+    generic XML has no JVM builtin without a declared schema, and the batch
+    UDF is the engine's standard Arrow escape hatch (one exchange, fused
+    with neighboring UDF stages).
+    """
+    tgt = target if target is not None else field
+
+    @F.pandas_udf("struct<json:string,err:string>")
+    def dec(s: pd.Series) -> pd.DataFrame:
+        js, err = _xml_decode_batch(s.tolist(), to_lower, prepend_hyphen_to_attr)
+        return pd.DataFrame({"json": js, "err": err})
+
+    out = df.withColumn("_xml", dec(F.col(field)))
+    decoded = F.col("_xml.json")
+    if schema is not None:
+        decoded = F.from_json(decoded, schema)
+    out = out.withColumn(tgt, decoded)
+    if not ignore_failure:
+        out = set_error(out, F.col("_xml.err").isNotNull(), F.col("_xml.err"))
+    return out.drop("_xml")
 
 
 def decode_csv_fields(

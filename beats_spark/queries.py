@@ -1170,6 +1170,141 @@ def q_sessionize(spark, sf_dir):
     return sessionize(t, gap_seconds=43200)
 
 
+# --------------------------------------------------------------------------
+# network identity (community_id, registered_domain) + decode_xml
+# --------------------------------------------------------------------------
+
+# deterministic host synthesis shared verbatim by both dialects: bases chosen
+# to exercise every PSL rule class (exact TLD, registry SLD, private suffix,
+# exception !www.ck, wildcard *.ck, unlisted TLD fallback)
+_RD_BASE_SQL = """CASE CAST(event_id % 7 AS INT)
+  WHEN 0 THEN 'example.com' WHEN 1 THEN 'example.co.uk'
+  WHEN 2 THEN 'users.github.io' WHEN 3 THEN 'www.ck'
+  WHEN 4 THEN 'foo.bar.ck' WHEN 5 THEN 'internal'
+  ELSE 'google.com' END"""
+_RD_HOST_SQL = f"printf('%s.%s', event_type, {_RD_BASE_SQL})"
+
+
+@register(
+    "registered_domain",
+    f"""
+WITH hosts AS (
+  SELECT {_RD_HOST_SQL} AS host, {_RD_BASE_SQL} AS base, event_type FROM events
+), expected AS (
+  -- independent expectation: PSL rules applied by hand per base
+  SELECT
+    CASE base
+      WHEN 'example.com'     THEN 'example.com'
+      WHEN 'example.co.uk'   THEN 'example.co.uk'
+      WHEN 'users.github.io' THEN 'users.github.io'
+      WHEN 'www.ck'          THEN 'www.ck'
+      WHEN 'foo.bar.ck'      THEN 'foo.bar.ck'
+      WHEN 'internal'        THEN printf('%s.internal', event_type)
+      ELSE 'google.com' END AS rd,
+    CASE base
+      WHEN 'example.com'     THEN 'com'
+      WHEN 'example.co.uk'   THEN 'co.uk'
+      WHEN 'users.github.io' THEN 'github.io'
+      WHEN 'www.ck'          THEN 'ck'
+      WHEN 'foo.bar.ck'      THEN 'bar.ck'
+      WHEN 'internal'        THEN 'internal'
+      ELSE 'com' END AS etld
+  FROM hosts
+)
+SELECT rd, etld, count(*) AS n FROM expected GROUP BY 1, 2
+""",
+)
+def q_registered_domain(spark, sf_dir):
+    """eTLD+1 over hosts synthesized from events — reference:
+    registered_domain.go:93 (publicsuffix.EffectiveTLDPlusOne)."""
+    from beats_spark.operators import network as NET
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hosts = ev.selectExpr(f"{_RD_HOST_SQL} AS host")
+    out = NET.registered_domain(hosts, "host", target="rd", etld_target="etld")
+    return out.groupBy("rd", "etld").agg(F.count("*").alias("n"))
+
+
+# deterministic XML synthesis shared by both dialects; ~5% malformed rows
+# exercise the failure path (decode null + error flag)
+_XML_SQL = (
+    "CASE WHEN event_id % 20 = 7 THEN '<event><unclosed></event' ELSE "
+    "printf('<event id=\"%d\" type=\"%s\"><value>%d</value><user>%d</user>"
+    "</event>', event_id, event_type, CAST(floor(value * 100) AS BIGINT), "
+    "user_id) END"
+)
+
+
+@register(
+    "decode_xml",
+    f"""
+WITH x AS (SELECT {_XML_SQL} AS xml, event_id FROM events),
+p AS (
+  SELECT
+    CASE WHEN event_id % 20 = 7 THEN NULL
+         ELSE regexp_extract(xml, 'type="([a-z]+)"', 1) END AS xtype,
+    CASE WHEN event_id % 20 = 7 THEN NULL
+         ELSE CAST(regexp_extract(xml, '<value>(-?[0-9]+)</value>', 1) AS BIGINT)
+         END AS xval,
+    CASE WHEN event_id % 20 = 7 THEN NULL
+         ELSE CAST(regexp_extract(xml, '<user>([0-9]+)</user>', 1) AS BIGINT)
+         END AS xuser
+  FROM x
+)
+SELECT xtype, count(*) AS n_rows, CAST(sum(xval) AS BIGINT) AS total_value,
+       min(xuser) AS min_user, max(xuser) AS max_user
+FROM p GROUP BY 1
+""",
+)
+def q_decode_xml(spark, sf_dir):
+    """Generic XML decode (reference decode_xml.go:97-128) over synthesized
+    event XML; malformed rows decode to null and flow into the NULL group."""
+    from beats_spark.operators import parse as P
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    x = ev.selectExpr(f"{_XML_SQL} AS xml", "event_id")
+    decoded = P.decode_xml(x, "xml", target="doc", ignore_failure=True)
+    p = decoded.select(
+        F.get_json_object("doc", "$.event.type").alias("xtype"),
+        F.get_json_object("doc", "$.event.value").cast("long").alias("xval"),
+        F.get_json_object("doc", "$.event.user").cast("long").alias("xuser"),
+    )
+    return p.groupBy("xtype").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("xval").alias("total_value"),
+        F.min("xuser").alias("min_user"),
+        F.max("xuser").alias("max_user"),
+    )
+
+
+@register("community_id")  # rows-only: DuckDB has no sha1; the exact hash is
+# pinned to the reference's published vectors in tests/test_network_xml.py
+def q_community_id(spark, sf_dir):
+    """Community ID v1 over flow tuples synthesized from events
+    (reference communityid.go:89-105)."""
+    from beats_spark.operators import network as NET
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flows = ev.selectExpr(
+        "printf('10.0.%d.%d', user_id % 250, event_id % 250) AS source_ip",
+        "printf('192.168.%d.%d', event_id % 200, user_id % 200) AS destination_ip",
+        "CAST(1024 + event_id % 60000 AS INT) AS source_port",
+        "CAST(CASE WHEN event_id % 2 = 0 THEN 80 ELSE 443 END AS INT) AS destination_port",
+        "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp' "
+        "WHEN 2 THEN 'icmp' ELSE 'sctp' END AS transport",
+        "CAST(event_id % 16 AS INT) AS icmp_type",
+        "CAST(event_id % 3 AS INT) AS icmp_code",
+    )
+    out = NET.community_id(flows, icmp_type="icmp_type", icmp_code="icmp_code")
+    mid = out.groupBy("community_id").agg(F.count("*").alias("_n"))
+    return mid.agg(
+        F.count("*").alias("n_flows"),
+        F.sum("_n").alias("n_rows"),
+        F.min("community_id").alias("min_id"),
+        F.max("community_id").alias("max_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

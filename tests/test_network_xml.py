@@ -1,0 +1,211 @@
+"""community_id / registered_domain / decode_xml parity tests.
+
+community_id vectors come from the reference's own test suites
+(/root/reference/libbeat/processors/communityid/communityid_test.go:46-127,
+libbeat/common/flowhash/communityid_test.go) — published Community ID v1
+spec vectors. registered_domain cases mirror
+registered_domain_test.go semantics via the bundled PSL snapshot.
+decode_xml cases are the reference decoder's table tests
+(libbeat/processors/decode_xml/decode_xml_test.go).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from beats_spark.operators.network import community_id, registered_domain
+from beats_spark.operators.parse import decode_xml
+
+
+def _flow(spark, **over):
+    base = dict(source_ip="128.232.110.120", source_port=34855,
+                destination_ip="66.35.250.204", destination_port=80,
+                transport="TCP", icmp_type=None, icmp_code=None)
+    base.update(over)
+    return spark.createDataFrame(
+        [Row(**base)],
+        "source_ip string, source_port int, destination_ip string, "
+        "destination_port int, transport string, icmp_type int, icmp_code int",
+    )
+
+
+def _cid(df, **kw):
+    kw.setdefault("icmp_type", "icmp_type")
+    kw.setdefault("icmp_code", "icmp_code")
+    return community_id(df, **kw).select("community_id").first()[0]
+
+
+class TestCommunityID:
+    def test_reference_vector_tcp(self, spark):
+        assert _cid(_flow(spark)) == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+
+    def test_reference_vector_seed(self, spark):
+        assert _cid(_flow(spark), seed=123) == "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
+
+    def test_symmetry(self, spark):
+        fwd = _cid(_flow(spark))
+        rev = _cid(_flow(spark, source_ip="66.35.250.204", source_port=80,
+                         destination_ip="128.232.110.120",
+                         destination_port=34855))
+        assert fwd == rev
+
+    def test_icmp_one_way(self, spark):
+        got = _cid(_flow(spark, transport="icmp", icmp_type=3, icmp_code=3))
+        assert got == "1:KF3iG9XD24nhlSy4r1TcYIr5mfE="
+
+    def test_icmp_without_typecode(self, spark):
+        got = _cid(_flow(spark, transport="icmp"))
+        assert got == "1:PAE85ZfR4SbNXl5URZwWYyDehwU="
+
+    def test_no_port_protocol(self, spark):
+        df = _flow(spark, transport="igmp", source_port=None,
+                   destination_port=None)
+        assert _cid(df) == "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="
+
+    def test_numeric_protocol_string(self, spark):
+        df = _flow(spark, transport="2", source_port=None,
+                   destination_port=None)
+        assert _cid(df) == "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="
+
+    def test_invalid_cases_null(self, spark):
+        assert _cid(_flow(spark, source_ip="999.1.1.1")) is None
+        assert _cid(_flow(spark, source_port=123456)) is None
+        assert _cid(_flow(spark, transport="xyz")) is None
+
+    def test_existing_target_kept(self, spark):
+        df = _flow(spark).withColumn("community_id", F.lit("1:keepme="))
+        assert _cid(df) == "1:keepme="
+
+
+class TestRegisteredDomain:
+    CASES = [
+        ("www.google.com", "google.com", "com", "www"),
+        ("google.com", "google.com", "com", None),
+        ("a.b.example.co.uk", "example.co.uk", "co.uk", "a.b"),
+        ("github.io", None, "github.io", None),          # domain IS a suffix
+        ("user.github.io", "user.github.io", "github.io", None),
+        ("www.ck", "www.ck", "ck", None),                # exception rule
+        ("foo.www.ck", "www.ck", "ck", "foo"),
+        ("foo.bar.ck", "foo.bar.ck", "bar.ck", None),    # wildcard *.ck
+        ("foo.localhost", "foo.localhost", "localhost", None),  # default `*`
+        ("WWW.Example.COM", "Example.COM", "COM", "WWW"),  # case preserved
+        ("com", None, "com", None),
+    ]
+
+    def test_cases(self, spark):
+        df = spark.createDataFrame(
+            [(d,) for d, *_ in self.CASES], "domain string"
+        )
+        out = registered_domain(
+            df, "domain", target="rd", subdomain_target="sub",
+            etld_target="etld",
+        ).collect()
+        got = {r["domain"]: (r["rd"], r["etld"], r["sub"]) for r in out}
+        for dom, rd, etld, sub in self.CASES:
+            assert got[dom] == (rd, etld, sub), dom
+
+    def test_null_and_malformed(self, spark):
+        df = spark.createDataFrame(
+            [(None,), ("",), ("a..b.com",)], "domain string"
+        )
+        out = registered_domain(df, "domain", target="rd").collect()
+        assert all(r["rd"] is None for r in out)
+
+    def test_custom_rules(self, spark):
+        df = spark.createDataFrame([("x.y.internal",)], "domain string")
+        rules = {"exact": {"y.internal"}, "wildcards": set(),
+                 "exceptions": set()}
+        out = registered_domain(df, "domain", target="rd",
+                                suffix_rules=rules).first()
+        assert out["rd"] == "x.y.internal"
+
+
+CATALOG = (
+    '<catalog><book seq="1"><author>William H. Gaddis</author>'
+    "<title>The Recognitions</title>"
+    "<review>One of the great seminal American novels of the 20th century."
+    "</review></book></catalog>"
+)
+
+
+class TestDecodeXML:
+    def _decode(self, spark, xml, **kw):
+        df = spark.createDataFrame([(xml,)], "message string")
+        kw.setdefault("target", "xml")
+        row = decode_xml(df, "message", **kw).first()
+        return row
+
+    def test_catalog_book(self, spark):
+        row = self._decode(spark, CATALOG)
+        obj = json.loads(row["xml"])
+        assert obj == {
+            "catalog": {"book": {
+                "author": "William H. Gaddis",
+                "title": "The Recognitions",
+                "review": "One of the great seminal American novels of the "
+                          "20th century.",
+                "seq": "1",
+            }}
+        }
+
+    def test_attrs_and_text(self, spark):
+        row = self._decode(spark, '<title lang="en">Hi</title>')
+        assert json.loads(row["xml"]) == {
+            "title": {"lang": "en", "#text": "Hi"}
+        }
+
+    def test_repeated_elements_array(self, spark):
+        row = self._decode(spark, "<l><i>a</i><i>b</i><i>c</i></l>")
+        assert json.loads(row["xml"]) == {"l": {"i": ["a", "b", "c"]}}
+
+    def test_to_lower(self, spark):
+        row = self._decode(spark, "<Root><Item>v</Item></Root>", to_lower=True)
+        assert json.loads(row["xml"]) == {"root": {"item": "v"}}
+
+    def test_overwrites_field_by_default(self, spark):
+        df = spark.createDataFrame([("<a>v</a>",)], "message string")
+        row = decode_xml(df, "message").first()
+        assert json.loads(row["message"]) == {"a": "v"}
+
+    def test_malformed_sets_error(self, spark):
+        row = self._decode(spark, "<unclosed>")
+        assert row["xml"] is None
+        assert "error decoding XML" in row["error"]["message"]
+
+    def test_ignore_failure(self, spark):
+        df = spark.createDataFrame([("<bad",)], "message string")
+        row = decode_xml(df, "message", target="xml",
+                         ignore_failure=True).first()
+        assert row["xml"] is None
+        assert "error" not in row.asDict()
+
+    def test_declared_schema(self, spark):
+        row = self._decode(
+            spark, CATALOG,
+            schema="struct<catalog:struct<book:struct<author:string,seq:string>>>",
+        )
+        assert row["xml"]["catalog"]["book"]["author"] == "William H. Gaddis"
+        assert row["xml"]["catalog"]["book"]["seq"] == "1"
+
+    def test_compiler_registration(self, spark):
+        from beats_spark.compiler import compile_pipeline
+
+        prog = compile_pipeline([
+            {"decode_xml": {"field": "message", "target_field": "x",
+                            "to_lower": True}},
+        ])
+        df = spark.createDataFrame([("<A>v</A>",)], "message string")
+        assert json.loads(prog(df).first()["x"]) == {"a": "v"}
+
+    def test_compiler_network_registration(self, spark):
+        from beats_spark.compiler import compile_pipeline
+
+        prog = compile_pipeline([
+            {"registered_domain": {"field": "host", "target_field": "rd"}},
+        ])
+        df = spark.createDataFrame([("www.example.com",)], "host string")
+        assert prog(df).first()["rd"] == "example.com"
