@@ -388,7 +388,7 @@ def decode_duration(
 
 # Go reference layout fragments → JDK DateTimeFormatter pattern fragments
 _GO_TO_JAVA = [
-    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("2006", "yyyy"), ("01", "MM"), ("_2", "d"), ("02", "dd"), ("15", "HH"),
     ("04", "mm"), ("05", "ss"), (".999999999", ".SSSSSSSSS"),
     (".999999", ".SSSSSS"), (".999", ".SSS"), ("Jan", "MMM"), ("Mon", "EEE"),
     ("Z07:00", "XXX"), ("-07:00", "xxx"), ("Z0700", "XX"), ("-0700", "xx"),

@@ -1277,6 +1277,78 @@ def q_decode_xml(spark, sf_dir):
     )
 
 
+# apache access lines synthesized from events; the host alternates between
+# dotted-quad, hostname, and IPv6 forms to exercise the source ip/domain
+# split, and event_type drives the status → outcome classes
+_AA_HOST_SQL = (
+    "CASE CAST(event_id % 3 AS INT) "
+    "WHEN 0 THEN printf('10.0.%d.%d', user_id % 250, event_id % 250) "
+    "WHEN 1 THEN printf('host%d.example.com', user_id % 50) "
+    "ELSE '::1' END"
+)
+_AA_STATUS_SQL = (
+    "CASE WHEN event_type = 'error' THEN 500 "
+    "WHEN event_type = 'click' THEN 301 ELSE 200 END"
+)
+
+
+def _aa_line_sql(dialect: str) -> str:
+    from beats_spark.data.transcripts import _ISO_TS  # dialect ts fragment
+
+    date = (
+        "date_format(ts, 'dd/MMM/yyyy:HH:mm:ss')"
+        if dialect == "spark"
+        else "strftime(ts, '%d/%b/%Y:%H:%M:%S')"
+    )
+    return (
+        f"printf('%s - user%d [%s +0000] \"GET /api/%s/%d HTTP/1.1\" %d %d', "
+        f"{_AA_HOST_SQL}, user_id, {date}, event_type, event_id % 100, "
+        f"{_AA_STATUS_SQL}, CAST(floor(value * 100) AS BIGINT))"
+    )
+
+
+@register(
+    "module_apache",
+    f"""
+WITH expected AS (
+  SELECT CASE WHEN {_AA_STATUS_SQL} < 400 THEN 'success' ELSE 'failure' END AS outcome,
+         CASE WHEN event_id % 3 = 0 THEN printf('10.0.%d.%d', user_id % 250, event_id % 250)
+              WHEN event_id % 3 = 2 THEN '::1' END AS src_ip,
+         CASE WHEN event_id % 3 = 1 THEN printf('host%d.example.com', user_id % 50) END AS src_domain,
+         printf('/api/%s/%d', event_type, event_id % 100) AS path,
+         CAST(floor(value * 100) AS BIGINT) AS bytes,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT outcome, count(*) AS n_rows, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       count(src_ip) AS n_ip, count(src_domain) AS n_domain,
+       min(path) AS min_path, max(path) AS max_path,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1
+""",
+)
+def q_module_apache(spark, sf_dir):
+    """The apache.access module pipeline (modules.py, pipeline.yml parity
+    pinned by tests/test_modules.py goldens) over synthesized access lines.
+    The oracle derives every expected field independently from the event
+    columns the line was printed from."""
+    from beats_spark.modules import apache_access
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(f"{_aa_line_sql('spark')} AS message")
+    out = apache_access(lines)
+    return out.groupBy(F.col("event_outcome").alias("outcome")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("parsed.http_response_body_bytes")).alias("total_bytes"),
+        F.count("source_ip").alias("n_ip"),
+        F.count("source_domain").alias("n_domain"),
+        F.min("url_path").alias("min_path"),
+        F.max("url_path").alias("max_path"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("max_ts"),
+    )
+
+
 @register("community_id")  # rows-only: DuckDB has no sha1; the exact hash is
 # pinned to the reference's published vectors in tests/test_network_xml.py
 def q_community_id(spark, sf_dir):

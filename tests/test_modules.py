@@ -1,0 +1,193 @@
+"""Golden-file parity for the module pipelines (beats_spark/modules.py)
+against the reference's own expected outputs
+(/root/reference/filebeat/module/*/test/*.log-expected.json).
+
+Every field the Spark restatement emits is asserted equal to the golden
+value for every line of every golden file listed. Fields the reference adds
+outside the parsed pipeline (geoip, user_agent parsing, event.ingested,
+related.*) are out of scope and not emitted, hence not compared.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.modules import (
+    apache_access,
+    apache_error,
+    nginx_access,
+    system_syslog,
+)
+
+REF = "/root/reference/filebeat/module"
+
+
+def _load_golden(module: str, fileset: str, log: str):
+    d = f"{REF}/{module}/{fileset}/test"
+    with open(f"{d}/{log}") as f:
+        text = f.read()
+    with open(f"{d}/{log}-expected.json") as f:
+        golden = json.load(f)
+    lines = text.splitlines()
+    # golden entries are not file-ordered; log.offset recovers line order
+    golden = sorted(golden, key=lambda e: e.get("log.offset", 0))
+    return lines, golden
+
+
+def _join_multiline(lines: list[str]) -> list[str]:
+    """system/syslog config: multiline pattern '^\\s' match=after."""
+    out: list[str] = []
+    for ln in lines:
+        if out and (ln[:1].isspace() if ln else True):
+            out[-1] += "\n" + ln
+        else:
+            out.append(ln)
+    return out
+
+
+def _instant(s: str) -> float:
+    return datetime.datetime.fromisoformat(s.replace("Z", "+00:00")).timestamp()
+
+
+def _run(spark, fn, lines: list[str], **kw):
+    df = spark.createDataFrame(
+        list(enumerate(lines)), "idx long, message string"
+    )
+    rows = fn(df, **kw).orderBy("idx").collect()
+    return [r.asDict(recursive=True) for r in rows]
+
+
+def _get(row: dict, path: str):
+    """Resolve a golden dotted key against the module output row: the parsed
+    struct first (so golden 'message' hits the grok'd field, not the raw
+    input column), then top-level convenience columns."""
+    safe = path.replace(".", "_").replace("@", "")
+    parsed = row.get("parsed") or {}
+    if parsed.get(safe) is not None:
+        return parsed[safe]
+    return row.get(safe)
+
+
+def _check(rows, golden, fields, ts_field="@timestamp"):
+    # the reference test harness truncates some goldens (first N events)
+    assert len(rows) >= len(golden), f"{len(rows)} rows vs {len(golden)} golden"
+    rows = rows[: len(golden)]
+    mismatches = []
+    for i, (row, exp) in enumerate(zip(rows, golden)):
+        if any(k.startswith("error.") for k in exp):
+            continue  # reference recorded a pipeline failure for this line
+        for fld in fields:
+            if fld not in exp:
+                # golden omits unset fields; require we emit null/absent too
+                got = _get(row, fld)
+                if got not in (None, "-"):
+                    mismatches.append((i, fld, "<absent>", got))
+                continue
+            got = _get(row, fld)
+            if got != exp[fld]:
+                mismatches.append((i, fld, exp[fld], got))
+        if ts_field and ts_field in exp and row.get("timestamp") is not None:
+            want = _instant(exp[ts_field])
+            got_ts = row["timestamp"].replace(
+                tzinfo=datetime.timezone.utc
+            ).timestamp()
+            if abs(got_ts - want) > 0.5:
+                mismatches.append((i, ts_field, exp[ts_field], row["timestamp"]))
+    assert not mismatches, mismatches[:8]
+
+
+APACHE_ACCESS_FIELDS = [
+    "http.request.method", "http.version", "http.response.status_code",
+    "http.response.body.bytes", "user.name", "url.original", "url.path",
+    "source.address", "source.ip", "source.domain", "event.outcome",
+    "http.request.referrer", "user_agent.original",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "test.log", "darwin-2.4.23.log", "ubuntu-2.2.22.log", "ssl-request.log",
+])
+def test_apache_access_golden(spark, log):
+    lines, golden = _load_golden("apache", "access", log)
+    rows = _run(spark, apache_access, lines)
+    _check(rows, golden, APACHE_ACCESS_FIELDS)
+
+
+APACHE_ERROR_FIELDS = [
+    "log.level", "message", "process.pid", "process.thread.id",
+    "source.address", "source.ip", "file.path", "apache.error.module",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "test.log", "darwin-2.4.23.log", "ubuntu-2.2.22.log", "sublevel.log",
+])
+def test_apache_error_golden(spark, log):
+    lines, golden = _load_golden("apache", "error", log)
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, apache_error, lines, timezone=tz)
+    _check(rows, golden, APACHE_ERROR_FIELDS)
+
+
+SYSLOG_FIELDS = ["host.hostname", "process.name", "process.pid"]
+
+
+@pytest.mark.parametrize("log", [
+    "darwin-syslog.log", "darwin-syslog-sample.log", "suse-syslog.log",
+])
+def test_system_syslog_golden(spark, log):
+    lines, golden = _load_golden("system", "syslog", log)
+    joined = _join_multiline(lines)
+    rows = _run(spark, system_syslog, joined)
+    _check(rows, golden, SYSLOG_FIELDS, ts_field=None)
+    # message rename parity
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"]
+
+
+NGINX_FIELDS = [
+    "http.request.method", "http.version", "http.response.status_code",
+    "http.response.body.bytes", "user.name", "url.original",
+    "source.address", "source.ip", "http.request.referrer",
+    "user_agent.original",
+]
+
+
+@pytest.mark.parametrize("log", ["test.log", "access.log", "test-with-host.log"])
+def test_nginx_access_golden(spark, log):
+    lines, golden = _load_golden("nginx", "access", log)
+    rows = _run(spark, nginx_access, lines)
+    _check(rows, golden, NGINX_FIELDS)
+
+
+def test_osquery_result_golden(spark):
+    from beats_spark.modules import osquery_result
+
+    lines, golden = _load_golden("osquery", "result", "test.log")
+    rows = _run(spark, osquery_result, lines)
+    assert len(rows) >= len(golden)
+    for row, exp in zip(rows, golden):
+        res = row["result"]
+        assert row["host_hostname"] == exp.get("host.hostname")
+        assert row["host_id"] == exp.get("host.id")
+        assert row["event_action"] == exp.get("event.action")
+        assert row["file_path"] == exp.get("file.path")
+        assert row["file_type"] == exp.get("file.type")
+        assert res["name"] == exp.get("osquery.result.name")
+        assert row["calendar_time"] == exp.get("osquery.result.calendar_time")
+        # dynamic columns map parity: every golden columns.* entry present
+        for k, v in exp.items():
+            if k.startswith("osquery.result.columns."):
+                assert res["columns"][k.rsplit(".", 1)[1]] == v, k
+        if "@timestamp" in exp and row["timestamp"] is not None:
+            want = _instant(exp["@timestamp"])
+            got = row["timestamp"].replace(
+                tzinfo=datetime.timezone.utc
+            ).timestamp()
+            assert abs(got - want) < 0.5
