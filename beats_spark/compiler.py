@@ -101,6 +101,11 @@ register_processor("decode_xml")(lambda c: lambda df: P.decode_xml(
     to_lower=c.get("to_lower", False),
     ignore_failure=c.get("ignore_failure", False),
     schema=c.get("schema")))
+register_processor("decode_xml_wineventlog")(lambda c: lambda df:
+    P.decode_xml_wineventlog(
+        df, c["field"], target=c.get("target_field", "winlog"),
+        map_ecs_fields=c.get("map_ecs_fields", True),
+        ignore_failure=c.get("ignore_failure", False)))
 
 # -- enrich ------------------------------------------------------------------
 

@@ -29,11 +29,16 @@ Failure semantics: any non-matching line yields None (scalar) / all-NaN row
 (vectorized); the Spark operator layers the `dissect_parsing_error` flag on
 top (processor.go:95-105).
 
-Greedy note: for multi-byte delimiters the reference absorbs repeats only at
-stride 1 (dissect.go:151-160), which only matters for self-overlapping
-delimiters; we absorb single-char and uniform-char delimiters exactly and
-leave other multi-char delimiters non-absorbing (divergence documented, not
-exercised by the golden corpus).
+Greedy note: the reference absorbs repeated delimiters after a `->` key only
+when the next occurrence starts exactly one byte later (stride-1 lookahead,
+dissect.go:151-160). A delimiter occurrence shifted by one byte overlaps
+itself, which forces d[k] == d[k+1] for every k — i.e. stride-1 absorption
+can only ever fire for uniform-single-char delimiters. We absorb single-char
+and uniform-char runs exactly and leave other multi-char delimiters
+non-absorbing, which is therefore EQUIVALENT to the reference, not a
+divergence: verified against the reference's full testdata corpus plus
+overlap probes (tests/test_dissect.py::test_reference_corpus_parity,
+golden corpus `greedy multi-char` cases).
 """
 
 from __future__ import annotations

@@ -97,20 +97,44 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+def decode_media(df: DataFrame, fake: bool | None = True) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow batch iterator —
     constant memory per task regardless of partition size; binary payloads
-    never materialize on the driver)."""
+    never materialize on the driver).
+
+    fake=True  → deterministic digest-derived dims (the default: the bench/
+                 oracle query needs environment-independent output);
+    fake=False → REAL image decode via Pillow; raises NotImplementedError
+                 when Pillow is absent (this container ships no codecs);
+    fake=None  → auto: real decode when Pillow imports, else the fake.
+    Rows Pillow cannot parse (non-image kinds, corrupt bytes) come back
+    ok=False rather than failing the task.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
+        use_real = not fake if fake is not None else None
+        Image = None
+        if fake is not True:
             try:
-                import PIL.Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real media decode needs Pillow/ffmpeg; container ships "
-                    "neither — use fake=True or install codecs"
-                ) from e
+                from PIL import Image  # noqa: N813
+                use_real = True
+            except ImportError:
+                if fake is False:
+                    raise NotImplementedError(
+                        "real media decode needs Pillow/ffmpeg; container "
+                        "ships neither — use fake=True/None or install codecs"
+                    ) from None
+                use_real = False
+
+        def real_decode(buf: bytes):
+            import io
+
+            try:
+                with Image.open(io.BytesIO(buf)) as im:
+                    return im.width, im.height, len(im.getbands()), True
+            except Exception:
+                return None, None, None, False
+
         for pdf in batches:
             recs = []
             for mid, kind, buf in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
@@ -118,8 +142,12 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
                     recs.append((mid, kind, 0, None, None, None, False))
                     continue
                 buf = bytes(buf)
-                w, h, c = _fake_decode(buf)
-                recs.append((mid, kind, len(buf), w, h, c, True))
+                if use_real:
+                    w, h, c, ok = real_decode(buf)
+                    recs.append((mid, kind, len(buf), w, h, c, ok))
+                else:
+                    w, h, c = _fake_decode(buf)
+                    recs.append((mid, kind, len(buf), w, h, c, True))
             yield pd.DataFrame(
                 recs,
                 columns=["media_id", "kind", "byte_len", "width", "height",

@@ -317,6 +317,192 @@ def decode_xml(
     return out.drop("_xml")
 
 
+# static value tables from the Windows SDK winmeta.xml (reference:
+# /root/reference/winlogbeat/sys/winevent/winmeta.go:30-63)
+_WINMETA_KEYWORDS = {
+    0x1000000000000: "Response Time", 0x4000000000000: "WDI Diag",
+    0x8000000000000: "SQM", 0x10000000000000: "Audit Failure",
+    0x20000000000000: "Audit Success", 0x40000000000000: "Correlation Hint",
+    0x80000000000000: "Classic",
+}
+_WINMETA_OPCODES = {0: "Info", 1: "Start", 2: "Stop", 3: "DCStart",
+                    4: "DCStop", 5: "Extension", 6: "Reply", 7: "Resume",
+                    8: "Suspend", 9: "Send"}
+_WINMETA_LEVELS = {0: "Information", 1: "Critical", 2: "Error", 3: "Warning",
+                   4: "Information", 5: "Verbose"}
+_KW_AUDIT_FAILURE, _KW_AUDIT_SUCCESS = 0x10000000000000, 0x20000000000000
+
+WINEVENT_SCHEMA = T.StructType([
+    T.StructField("channel", T.StringType()),
+    T.StructField("event_id", T.StringType()),
+    T.StructField("provider_name", T.StringType()),
+    T.StructField("record_id", T.LongType()),
+    T.StructField("task", T.StringType()),
+    T.StructField("computer_name", T.StringType()),
+    T.StructField("keywords", T.ArrayType(T.StringType())),
+    T.StructField("opcode", T.StringType()),
+    T.StructField("provider_guid", T.StringType()),
+    T.StructField("version", T.IntegerType()),
+    T.StructField("time_created", T.StringType()),
+    T.StructField("outcome", T.StringType()),
+    T.StructField("level", T.StringType()),
+    T.StructField("message", T.StringType()),
+    T.StructField("activity_id", T.StringType()),
+    T.StructField("related_activity_id", T.StringType()),
+    T.StructField("process_pid", T.LongType()),
+    T.StructField("process_thread_id", T.LongType()),
+    T.StructField("event_data", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("user_data", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("_err", T.StringType()),
+])
+
+
+def _winevent_decode_one(text: str) -> dict:
+    """One Windows Event XML document → the winlog field map (reference:
+    winlogbeat/sys/winevent/event.go:91-152 Fields(), 338-390
+    EnrichRawValuesWithNames with the static winmeta tables)."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    root = ET.fromstring(text)
+    out: dict = {}
+    rendering: dict = {}
+    level_raw = opcode_raw = task_raw = None
+    keywords_raw = 0
+
+    for el in root:
+        name = local(el.tag)
+        if name == "System":
+            for s in el:
+                n = local(s.tag)
+                txt = (s.text or "").strip()
+                if n == "Provider":
+                    out["provider_name"] = s.get("Name")
+                    out["provider_guid"] = s.get("Guid")
+                elif n == "EventID":
+                    out["event_id"] = txt
+                elif n == "Version":
+                    out["version"] = int(txt) if txt else None
+                elif n == "Level":
+                    level_raw = int(txt) if txt else None
+                elif n == "Task":
+                    task_raw = int(txt) if txt else None
+                elif n == "Opcode":
+                    opcode_raw = int(txt) if txt else None
+                elif n == "Keywords":
+                    keywords_raw = int(txt, 0) if txt else 0
+                elif n == "TimeCreated":
+                    out["time_created"] = s.get("SystemTime")
+                elif n == "EventRecordID":
+                    out["record_id"] = int(txt) if txt else None
+                elif n == "Correlation":
+                    out["activity_id"] = s.get("ActivityID")
+                    out["related_activity_id"] = s.get("RelatedActivityID")
+                elif n == "Execution":
+                    pid, tid = s.get("ProcessID"), s.get("ThreadID")
+                    out["process_pid"] = int(pid) if pid else None
+                    out["process_thread_id"] = int(tid) if tid else None
+                elif n == "Channel":
+                    out["channel"] = txt
+                elif n == "Computer":
+                    out["computer_name"] = txt
+        elif name == "EventData":
+            pairs = {}
+            for i, d in enumerate(el):
+                pairs[d.get("Name") or f"param{i + 1}"] = d.text
+            out["event_data"] = pairs or None
+        elif name == "UserData":
+            for child in el:
+                pairs = {local(c.tag): c.text for c in child}
+                pairs["xml_name"] = local(child.tag)
+                out["user_data"] = pairs
+                break
+        elif name == "RenderingInfo":
+            for r in el:
+                n = local(r.tag)
+                if n == "Keywords":
+                    rendering["keywords"] = [
+                        (k.text or "").strip() for k in r
+                    ]
+                else:
+                    rendering[n.lower()] = (r.text or "")
+
+    # outcome from the raw keyword mask (event.go:107-111)
+    if keywords_raw & _KW_AUDIT_FAILURE:
+        out["outcome"] = "failure"
+    elif keywords_raw & _KW_AUDIT_SUCCESS:
+        out["outcome"] = "success"
+
+    # rendered values win; raw values resolve through the static tables
+    kw = rendering.get("keywords") or [
+        n for m, n in _WINMETA_KEYWORDS.items() if keywords_raw & m
+    ]
+    out["keywords"] = kw or None
+    level = rendering.get("level") or _WINMETA_LEVELS.get(level_raw, "")
+    out["level"] = level.lower() or None
+    out["opcode"] = rendering.get("opcode") or (
+        _WINMETA_OPCODES.get(opcode_raw) if opcode_raw is not None else None
+    )
+    out["task"] = rendering.get("task") or (
+        "None" if task_raw == 0 else None
+    )
+    msg = rendering.get("message")
+    out["message"] = msg.replace("\r\n", "\n").strip() if msg else None
+    return out
+
+
+def decode_xml_wineventlog(
+    df: DataFrame,
+    field: str,
+    target: str = "winlog",
+    map_ecs_fields: bool = True,
+    ignore_failure: bool = False,
+) -> DataFrame:
+    """decode_xml_wineventlog (reference:
+    /root/reference/libbeat/processors/decode_xml_wineventlog/processor.go:99-163,
+    decoder.go:34-42): Windows Event XML → typed `winlog` struct plus the
+    ECS mirror columns (event_code/kind/provider/action, host_name,
+    event_outcome, log_level, message). Vectorized pandas UDF for the XML
+    walk; the ECS projection is pure Column expressions over the struct."""
+
+    @F.pandas_udf(WINEVENT_SCHEMA)
+    def dec(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        keys = [f.name for f in WINEVENT_SCHEMA.fields]
+        for text in s:
+            if text is None:
+                rows.append({k: None for k in keys})
+                continue
+            try:
+                d = _winevent_decode_one(text)
+                d["_err"] = None
+            except Exception as ex:
+                d = {"_err": f"error decoding XML field: {ex}"}
+            rows.append({k: d.get(k) for k in keys})
+        return pd.DataFrame(rows, columns=keys)
+
+    out = df.withColumn(target, dec(F.col(field)))
+    if not ignore_failure:
+        out = set_error(out, F.col(f"{target}._err").isNotNull(),
+                        F.col(f"{target}._err"))
+    out = out.withColumn(target, F.col(target).dropFields("_err"))
+    if map_ecs_fields:
+        w = F.col(target)
+        out = (
+            out.withColumn("event_code", w["event_id"])
+            .withColumn("event_kind", F.lit("event"))
+            .withColumn("event_provider", w["provider_name"])
+            .withColumn("event_action", w["task"])
+            .withColumn("host_name", w["computer_name"])
+            .withColumn("event_outcome", w["outcome"])
+            .withColumn("log_level", w["level"])
+            .withColumn("message", w["message"])
+        )
+    return out
+
+
 def decode_csv_fields(
     df: DataFrame, field: str, target: str, separator: str = ","
 ) -> DataFrame:

@@ -104,3 +104,36 @@ def test_program_order_is_visible_to_later_steps(df):
     out = prog(df).first()
     assert "text" not in prog(df).columns
     assert out.d.ip == "1.2.3.4"
+
+
+def test_when_guarded_rename_keeps_nonmatching_rows(df):
+    # ADVICE r1: a column-removing processor under `when` must leave
+    # non-matching rows untouched (reference WhenProcessor semantics) —
+    # previously the pre-image was discarded for ALL rows
+    prog = compile_pipeline([
+        {"rename": {"fields": [{"from": "tool", "to": "tool2"}],
+                    "when": {"equals": {"role": "assistant"}}}},
+    ])
+    rows = {r.role: r for r in prog(df).collect()}
+    assert rows["assistant"].tool2 == "bash"
+    assert rows["assistant"].tool is None        # matched: renamed away
+    assert rows["user"].tool is None             # was null, stays null
+    assert rows["system"].tool is None
+    assert rows["system"].tool2 is None          # non-match: no new value
+
+
+def test_when_guarded_drop_fields_restores_nonmatch(df):
+    prog = compile_pipeline([
+        {"drop_fields": {"fields": ["tool"],
+                         "when": {"equals": {"conv_id": "c1"}}}},
+    ])
+    rows = {(r.conv_id, r.turn_idx): r for r in prog(df).collect()}
+    assert rows[("c1", 1)].tool is None          # matched: dropped
+    assert rows[("c2", 0)].tool is None          # originally null
+    # non-matching rows keep their pre-image (c1 rows matched here, so use
+    # a frame where the kept value is non-null on a non-matching row)
+    df2 = df.sparkSession.createDataFrame(
+        [("c9", 0, "tool", "x", "search")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    assert prog(df2).first().tool == "search"

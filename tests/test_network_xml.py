@@ -209,3 +209,96 @@ class TestDecodeXML:
         ])
         df = spark.createDataFrame([("www.example.com",)], "host string")
         assert prog(df).first()["rd"] == "example.com"
+
+
+WINEVENT_XML = (
+    "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'>"
+    "<System><Provider Name='Microsoft-Windows-Security-Auditing' "
+    "Guid='{54849625-5478-4994-a5ba-3e3b0328c30d}'/>"
+    "<EventID>4672</EventID><Version>0</Version><Level>0</Level>"
+    "<Task>12548</Task><Opcode>0</Opcode>"
+    "<Keywords>0x8020000000000000</Keywords>"
+    "<TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>"
+    "<EventRecordID>11303</EventRecordID>"
+    "<Correlation ActivityID='{ffb23523-1f32-0000-c335-b2ff321fd701}'/>"
+    "<Execution ProcessID='652' ThreadID='4660'/>"
+    "<Channel>Security</Channel><Computer>vagrant</Computer><Security/>"
+    "</System><EventData>"
+    "<Data Name='SubjectUserSid'>S-1-5-18</Data>"
+    "<Data Name='SubjectUserName'>SYSTEM</Data>"
+    "</EventData><RenderingInfo Culture='en-US'>"
+    "<Message>Special privileges assigned to new logon.\r\n\r\nSubject:</Message>"
+    "<Level>Information</Level><Task>Special Logon</Task><Opcode>Info</Opcode>"
+    "<Channel>Security</Channel>"
+    "<Provider>Microsoft Windows security auditing.</Provider>"
+    "<Keywords><Keyword>Audit Success</Keyword></Keywords>"
+    "</RenderingInfo></Event>"
+)
+
+
+class TestDecodeXMLWineventlog:
+    """Mappings pinned to the reference's processor_test.go vector
+    (decode_xml_wineventlog/processor_test.go:32-118) and the winmeta
+    fallback tables (winlogbeat/sys/winevent/winmeta.go:30-63)."""
+
+    def _decode(self, spark, xml, **kw):
+        from beats_spark.operators.parse import decode_xml_wineventlog
+
+        df = spark.createDataFrame([(xml,)], "evt_xml string")
+        return decode_xml_wineventlog(df, "evt_xml", **kw).first()
+
+    def test_reference_vector(self, spark):
+        row = self._decode(spark, WINEVENT_XML)
+        w = row["winlog"]
+        assert w["provider_name"] == "Microsoft-Windows-Security-Auditing"
+        assert w["provider_guid"] == "{54849625-5478-4994-a5ba-3e3b0328c30d}"
+        assert w["event_id"] == "4672"
+        assert w["record_id"] == 11303
+        assert w["computer_name"] == "vagrant"
+        assert w["channel"] == "Security"
+        assert w["outcome"] == "success"          # 0x8020... & AuditSuccess
+        assert w["level"] == "information"
+        assert w["task"] == "Special Logon"
+        assert w["opcode"] == "Info"
+        assert w["keywords"] == ["Audit Success"]
+        assert w["activity_id"] == "{ffb23523-1f32-0000-c335-b2ff321fd701}"
+        assert w["process_pid"] == 652 and w["process_thread_id"] == 4660
+        assert w["time_created"] == "2021-03-23T09:56:13.137310000Z"
+        assert w["event_data"]["SubjectUserSid"] == "S-1-5-18"
+        assert "\r\n" not in w["message"]          # windows line endings removed
+        # ECS mirror columns (processor.go fields():139-157)
+        assert row["event_code"] == "4672"
+        assert row["event_kind"] == "event"
+        assert row["event_provider"] == "Microsoft-Windows-Security-Auditing"
+        assert row["event_action"] == "Special Logon"
+        assert row["host_name"] == "vagrant"
+        assert row["event_outcome"] == "success"
+        assert row["log_level"] == "information"
+
+    def test_raw_value_fallback_tables(self, spark):
+        xml = (
+            "<Event><System><Provider Name='P'/><EventID>1</EventID>"
+            "<Level>2</Level><Task>0</Task><Opcode>1</Opcode>"
+            "<Keywords>0x10000000000000</Keywords>"
+            "<Channel>App</Channel><Computer>h</Computer></System></Event>"
+        )
+        w = self._decode(spark, xml)["winlog"]
+        assert w["level"] == "error"           # winmeta Levels[2]
+        assert w["opcode"] == "Start"          # winmeta Opcodes[1]
+        assert w["task"] == "None"             # winmeta Tasks[0]
+        assert w["outcome"] == "failure"       # AuditFailure mask
+        assert w["keywords"] == ["Audit Failure"]
+
+    def test_malformed_sets_error(self, spark):
+        row = self._decode(spark, "<Event><broken")
+        assert row["winlog"]["event_id"] is None
+        assert "error decoding XML" in row["error"]["message"]
+
+    def test_compiler_registration(self, spark):
+        from beats_spark.compiler import compile_pipeline
+
+        prog = compile_pipeline([
+            {"decode_xml_wineventlog": {"field": "evt_xml"}},
+        ])
+        df = spark.createDataFrame([(WINEVENT_XML,)], "evt_xml string")
+        assert prog(df).first()["event_code"] == "4672"

@@ -155,3 +155,29 @@ def test_stream_cache_enrich_cross_batch(spark, tmp_path):
     assert rows[("k1", "get")] == "v1"  # put from earlier batch visible
     assert rows[("k2", "get")] is None  # miss
     assert rows[("k1", "put")] is None  # puts pass through unenriched
+
+
+def test_stream_cache_never_put_key_stays_null(spark, tmp_path):
+    # ADVICE r1: gets on a never-put key must emit null in EVERY micro-batch
+    # — the old ('', -inf) state seed leaked '' from the second batch on
+    from beats_spark.streaming.stateful import stream_cache_enrich
+
+    base = datetime.datetime(2024, 1, 1)
+    src = tmp_path / "cache_src2"
+    src.mkdir()
+    schema = "key string, op string, value string, ts timestamp"
+    for i in range(3):  # three micro-batches of gets, no put ever
+        rows = [("k", "get", None, base + datetime.timedelta(seconds=i))]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    enriched = stream_cache_enrich(sdf, "key", "op", "value",
+                                   ttl_seconds=None)
+    got = _run_memory_stream(spark, enriched, "cache_t2")
+    vals = [r.cached_value for r in got.collect()]
+    assert len(vals) == 3 and all(v is None for v in vals)
