@@ -68,11 +68,18 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
 
     Pure Column expressions → whole-stage codegen; K×|shingles| hashes per
     row, all JVM-side.
+
+    The seed must be captured via a closure factory: a two-parameter lambda
+    (`lambda s, i=i`) is interpreted by F.transform as the (element, index)
+    form, silently binding `i` to the array INDEX — which collapses all K
+    "independent" hash functions into one and guts LSH recall.
     """
+
+    def _hash_with(seed: int):
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
     mins = [
-        F.array_min(
-            F.transform(shingle_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
-        )
+        F.array_min(F.transform(shingle_col, _hash_with(i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -163,12 +170,120 @@ def minhash_dedup(
 ) -> DataFrame:
     """Docs to DROP: connected to a lower-id near-duplicate. (Single-link
     union is approximated by 'keep a doc iff it has no lower-id neighbor' —
-    one extra join instead of an iterative connected-components pass; at
-    10^12 rows run graphframes CC on the pairs if true transitivity is
-    needed.)"""
+    one extra join instead of an iterative connected-components pass; for
+    true transitivity use `minhash_dedup_cc`.)"""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def minhash_dedup_cc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw
+) -> DataFrame:
+    """True transitive dedup: keep exactly one doc (the min id) per
+    connected component of the near-dup graph. Chains a~b~c where
+    jaccard(a,c) < threshold still collapse to one survivor — the
+    single-link semantics `minhash_dedup` only approximates.
+
+    Pairs come from the banded LSH join; components from the O(log n)
+    alternating-star pass in beats_spark.graph (all shuffles keyed on doc
+    id, no driver-side graph state)."""
+    from beats_spark.graph import connected_components
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT token-set Jaccard similarity join via prefix filtering
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07) — provably no missed
+    pairs, unlike the minhash-banded candidate generation.
+
+    Key fact: sort each doc's token set by ascending global frequency and
+    keep only the first |g| - ceil(t·|g|) + 1 tokens (the "prefix"); any
+    two sets with jaccard ≥ t MUST share a prefix token. Candidate
+    generation is then a plain equi-join on the inverted index of prefix
+    tokens — and because prefixes are each doc's globally RAREST tokens,
+    posting lists stay short exactly where a naive token join explodes.
+    A length filter (t·|A| ≤ |B|) prunes candidates before the exact
+    verify.
+
+    Shuffles: one token-frequency groupBy, one re-agg per doc, one
+    equi-join on prefix token, one dedup. No cross join, no driver state.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("_g"),
+    )
+    exploded = base.select("_id", F.explode("_g").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
+    # order tokens rarest-first with (cnt, g) as the key — no global
+    # row_number window (which would single-partition the sort at scale)
+    ranked = (
+        exploded.join(freq, "g")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("g")))
+            ).alias("_sorted")
+        )
+        .select(
+            "_id",
+            F.expr("transform(_sorted, x -> x.g)").alias("_g"),
+        )
+    )
+    prefixed = ranked.withColumn(
+        "_prefix",
+        F.expr(
+            f"slice(_g, 1, size(_g) - cast(ceil({threshold} * size(_g)) as int) + 1)"
+        ),
+    )
+    inv = prefixed.select(
+        "_id", F.size("_g").alias("_len"), F.explode("_prefix").alias("g")
+    )
+    a = inv.select("g", F.col("_id").alias("id_a"), F.col("_len").alias("len_a"))
+    b = inv.select("g", F.col("_id").alias("id_b"), F.col("_len").alias("len_b"))
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("len_b") * threshold <= F.col("len_a"))
+            & (F.col("len_a") * threshold <= F.col("len_b"))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter_size", inter)
+        .withColumn(
+            "union_size",
+            F.size("g_a") + F.size("g_b") - F.col("inter_size"),
+        )
+        # integer cross-multiply ≥ test: exact, no float rounding to
+        # diverge from an independent engine's arithmetic
+        .where(F.col("inter_size") >= F.lit(threshold) * F.col("union_size"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter_size") / F.col("union_size"), 6),
+        )
+        .select("id_a", "id_b", "inter_size", "union_size", "jaccard")
+    )
 
 
 # -- simhash (vectorized numpy over Arrow batches) ---------------------------

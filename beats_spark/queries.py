@@ -976,6 +976,69 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+_TOKSET_SQL = (
+    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+)
+
+
+@register(
+    "prefix_jaccard_pairs",
+    f"""
+WITH d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents WHERE text IS NOT NULL),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g)) AS i,
+         len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(i AS INTEGER) AS inter_size, CAST(u AS INTEGER) AS union_size,
+       round(i * 1.0 / u, 6) AS jaccard
+FROM p WHERE i >= 0.5 * u
+""",
+)
+def q_prefix_jaccard_pairs(spark, sf_dir):
+    """EXACT similarity self-join via prefix filtering — the oracle is a
+    brute-force all-pairs join, so a single missed or spurious pair fails
+    the hash gate. This is the strong-correctness twin of the approximate
+    minhash/banded path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_components",
+    f"""
+WITH RECURSIVE d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents WHERE text IS NOT NULL),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.g, b.g))
+        >= 0.5 * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+),
+sym AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT doc.doc_id, COALESCE(comp.component, doc.doc_id) AS component
+FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node
+""",
+)
+def q_dedup_components(spark, sf_dir):
+    """True transitive near-dup clusters: exact prefix-filter pairs →
+    distributed alternating-star connected components. The oracle computes
+    the same components with a recursive-CTE transitive closure — an
+    entirely different algorithm, so agreement pins both the pair set and
+    the component labeling."""
+    from beats_spark.graph import assign_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    return assign_components(docs, pairs).select("doc_id", "component")
+
+
 # rows-only entries (hash-family internals differ engine-to-engine → the
 # driver records the weaker rows-only check; pytest covers exact behavior)
 
@@ -984,6 +1047,15 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return D.minhash_dedup(docs, threshold=0.6).select("doc_id")
+
+
+@register("minhash_dedup_cc")
+def q_minhash_dedup_cc(spark, sf_dir):
+    """Transitive (connected-component) variant of minhash_dedup: one
+    survivor per near-dup cluster even across chains a~b~c where a,c are
+    not directly similar."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_dedup_cc(docs, threshold=0.6).select("doc_id")
 
 
 @register("simhash_pairs")
