@@ -36,6 +36,7 @@ BUILTIN_PATTERNS: dict[str, str] = {
     "NUMBER": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
     "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
     "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
+    "BASE16FLOAT": r"\b[+-]?(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"[a-zA-Z0-9._-]+",
     "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",
@@ -223,6 +224,10 @@ class Grok:
 
     def grok_frame(self, s: pd.Series) -> pd.DataFrame:
         """Vectorized extraction; unmatched rows are all-NaN."""
+        if not self.fields:
+            # capture-less pattern (e.g. a bare %{GREEDYDATA} catch-all):
+            # nothing to extract — the bank computes the match flag itself
+            return pd.DataFrame(index=s.index)
         ext = s.astype("object").str.extract(self.pattern, expand=True)
         out = pd.DataFrame(index=s.index)
         for (name, dtype), gname in zip(self.fields, self._group_names):

@@ -293,3 +293,301 @@ def osquery_result(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["osquery.result"] = osquery_result
+
+
+# -- redis.log (redis/log/ingest/pipeline.yml) -------------------------------
+
+REDIS_LOG_PATTERNS = [
+    r"(%{POSINT:process.pid:long}:%{CHAR:redis.log.role} )?"
+    r"(%{REDISTIMESTAMP1:redis.log.timestamp}||%{REDISTIMESTAMP2:redis.log.timestamp})"
+    r" %{REDISLEVEL:log.level} %{GREEDYDATA:message}",
+    r"%{POSINT:process.pid:long}:signal-handler \(%{POSINT:redis.log.timestamp}\) "
+    r"%{GREEDYDATA:message}",
+]
+
+REDIS_LOG_DEFINITIONS = {
+    "CHAR": r"[a-zA-Z]",
+    "REDISLEVEL": r"[.\-*#]",
+    "REDISTIMESTAMP1": r"%{MONTHDAY} %{MONTH} %{TIME}",
+    "REDISTIMESTAMP2": r"%{MONTHDAY} %{MONTH} %{YEAR} %{TIME}",
+}
+
+
+def redis_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """redis/log/ingest/pipeline.yml: grok (verbatim patterns incl. the
+    empty-alternative timestamp branch), sigil→level and role-letter maps
+    (the pipeline's painless scripts as when-chains), year-full timestamp
+    parse (the yearless format is unresolvable batch-side, exactly like the
+    reference leaves it to ingest)."""
+    out = P.grok(df, REDIS_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=REDIS_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    lvl = p["log_level"]
+    role = p["redis_log_role"]
+    # the painless scripts mutate ctx.log.level / ctx.redis.log.role in
+    # place — mirror by rewriting the parsed struct fields
+    out = out.withColumn(
+        "parsed",
+        F.col("parsed")
+        .withField(
+            "log_level",
+            F.when(lvl == ".", "debug").when(lvl == "-", "verbose")
+            .when(lvl == "*", "notice").when(lvl == "#", "warning")
+            .otherwise(lvl),
+        )
+        .withField(
+            "redis_log_role",
+            F.when(role == "M", "master").when(role == "S", "slave")
+            .when(role == "C", "child").when(role == "X", "sentinel")
+            .otherwise(role),
+        ),
+    )
+    out = out.withColumn("process_pid", p["process_pid"])
+    out = P.timestamp(out, "parsed.redis_log_timestamp",
+                      ["2 Jan 2006 15:04:05.999", "UNIX"], target="timestamp")
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("database")))
+    out = out.withColumn("event_type", F.array(F.lit("info")))
+    return out
+
+
+MODULES["redis.log"] = redis_log
+
+
+# -- mysql.error (mysql/error/ingest/pipeline.yml) ---------------------------
+
+MYSQL_ERROR_PATTERNS = [
+    r"%{MYSQLDATETIME}%{SPACE}(%{NUMBER:mysql.thread_id:long}%{SPACE})?"
+    r"(\[%{DATA:log.level}\]%{SPACE})?%{GREEDYMULTILINE:message}",
+    r"%{GREEDYDATA:message}",
+]
+
+MYSQL_ERROR_DEFINITIONS = {
+    "LOCALDATETIME": r"(?:%{YEAR}-%{MONTHNUM}-%{MONTHDAY}|%{NUMBER})%{SPACE}%{TIME}",
+    "MYSQLDATETIME":
+        r"(?:%{LOCALDATETIME:_tmp.local_timestamp}|%{TIMESTAMP_ISO8601:_tmp.timestamp})",
+}
+
+MYSQL_ERROR_MSG_PATTERNS = [
+    r"(\[%{DATA:event.code}\])%{SPACE}(\[%{DATA:event.provider}\])%{SPACE}"
+    r"%{NOTSPACE}: Forcing close of thread %{INT}  user: '%{USERNAME:user.name}'",
+    r"(\[%{DATA:event.code}\])%{SPACE}(\[%{DATA:event.provider}\])%{SPACE}"
+    r"%{GREEDYMULTILINE}",
+    r"%{ACCESS:_tmp.auth_failed} for user '%{USERNAME:user.name}'"
+    r"(@'%{IP:source.ip}')?",
+    r"%{IP_RESOLVE_ERROR:_tmp.ip_resolve_error}",
+    r"Server socket created on IP: '%{IP:source.ip}'",
+    r"%{GREEDYDATA}",
+]
+
+MYSQL_ERROR_MSG_DEFINITIONS = {
+    "ACCESS": r"Access denied",
+    "IP_RESOLVE_ERROR":
+        r"IP address '%{IP:source.ip}' could not be resolved: "
+        r"Name or service not known",
+}
+
+
+def mysql_error(df: DataFrame, field: str = "message",
+                timezone: str | None = None) -> DataFrame:
+    """mysql/error/ingest/pipeline.yml: two-stage grok (datetime/level/message
+    split, then message classification), conditional dates — the LOCAL
+    datetime is interpreted in the event timezone, the ISO8601 variant is
+    absolute — and the auth-failure enrichments (event.category/action/
+    outcome appends, related.ip/user)."""
+    out = P.grok(df, MYSQL_ERROR_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=MYSQL_ERROR_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("message_out", p["message"])
+    out = P.grok(out, MYSQL_ERROR_MSG_PATTERNS, field="message_out",
+                 target_prefix="parsed2", flag_failures=False,
+                 pattern_definitions=MYSQL_ERROR_MSG_DEFINITIONS)
+    p2 = F.col("parsed2")
+    # local datetime: collapse double space, zero-pad the hour, parse, then
+    # shift from the event timezone; ISO8601: absolute, no shift
+    local_norm = F.regexp_replace(
+        F.regexp_replace(p["_tmp_local_timestamp"], r"\s+", " "),
+        r" (\d):", " 0$1:",
+    )
+    local_ts = F.coalesce(
+        F.try_to_timestamp(local_norm, F.lit("yyMMdd HH:mm:ss")),
+        F.try_to_timestamp(local_norm, F.lit("yyyy-MM-dd HH:mm:ss")),
+    )
+    if timezone:
+        local_ts = F.to_utc_timestamp(local_ts, timezone)
+    iso_ts = F.coalesce(
+        F.try_to_timestamp(p["_tmp_timestamp"],
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(p["_tmp_timestamp"],
+                           F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    out = out.withColumn("timestamp", F.coalesce(local_ts, iso_ts))
+    out = out.withColumn("mysql_thread_id", p["mysql_thread_id"])
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("user_name", p2["user_name"])
+    out = out.withColumn("source_ip", p2["source_ip"])
+    auth_failed = p2["_tmp_auth_failed"].isNotNull()
+    ip_err = p2["_tmp_ip_resolve_error"].isNotNull()
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_category",
+        F.when(auth_failed, F.array(F.lit("database"), F.lit("authentication")))
+        .when(ip_err, F.array(F.lit("database"), F.lit("network")))
+        .otherwise(F.array(F.lit("database"))),
+    )
+    out = out.withColumn(
+        "event_type",
+        F.when(F.lower(F.coalesce(p["log_level"], F.lit(""))) == "error",
+               F.array(F.lit("info"), F.lit("error")))
+        .otherwise(F.array(F.lit("info"))),
+    )
+    out = out.withColumn(
+        "event_action", F.when(auth_failed, F.array(F.lit("logon-failed")))
+    )
+    out = out.withColumn("event_outcome", F.when(auth_failed, "failure"))
+    out = out.withColumn(
+        "related_ip", F.when(p2["source_ip"].isNotNull(),
+                             F.array(p2["source_ip"]))
+    )
+    out = out.withColumn(
+        "related_user", F.when(p2["user_name"].isNotNull(),
+                               F.array(p2["user_name"]))
+    )
+    return out
+
+
+MODULES["mysql.error"] = mysql_error
+
+
+# -- postgresql.log (postgresql/log/ingest/pipeline.yml + pipeline-log.yml) --
+
+POSTGRESQL_ENTRY_PATTERNS = [
+    r"^%{DATETIME:postgresql.log.timestamp}%{CHAR:separator}%{GREEDYDATA:raw_message}",
+]
+
+POSTGRESQL_ENTRY_DEFINITIONS = {
+    "DATETIME": r"[-0-9]+ %{TIME} %{WORD:event.timezone}",
+    "CHAR": r".",
+    "GREEDYDATA": "(.|\n|\t)*",
+}
+
+POSTGRESQL_LOG_PATTERNS = [
+    r"^(\[%{NUMBER:process.pid:long}(-%{BASE16FLOAT:postgresql.log.session_line_number:long})?\] "
+    r"((\[%{USERNAME:user.name}\]@\[%{POSTGRESQL_DB_NAME:postgresql.log.database}\]"
+    r"|%{USERNAME:user.name}@%{POSTGRESQL_DB_NAME:postgresql.log.database}) )?)?"
+    r"%{WORD:log.level}:  (?:%{POSTGRESQL_ERROR:postgresql.log.sql_state_code}|%{SPACE})"
+    r"(duration: %{NUMBER:temp.duration:float} ms"
+    r"(  %{POSTGRESQL_QUERY_STEP}: %{GREEDYDATA:postgresql.log.query})?"
+    r"|statement: %{GREEDYDATA:postgresql.log.query}"
+    r"|: %{GREEDYDATA:message}"
+    r"|%{GREEDYDATA:message})",
+]
+
+POSTGRESQL_LOG_DEFINITIONS = {
+    "GREEDYDATA": "(.|\n|\t)*",
+    "POSTGRESQL_DB_NAME": r"[a-zA-Z0-9_]+[a-zA-Z0-9_\$]*",
+    "POSTGRESQL_QUERY_STEP":
+        r"%{WORD:postgresql.log.query_step}(?: <unnamed>| %{WORD:postgresql.log.query_name})?",
+    "POSTGRESQL_ERROR": r"\b[A-Z0-9]{5}\b",
+}
+
+
+def postgresql_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """postgresql/log/ingest/pipeline.yml (entry split) + pipeline-log.yml
+    (the non-CSV path). event.timezone comes from the log line itself; the
+    timestamp parse uses the zone-name format ('zzz'), and event.duration
+    is the statement duration in nanoseconds."""
+    out = P.grok(df, POSTGRESQL_ENTRY_PATTERNS, field=field,
+                 target_prefix="entry",
+                 pattern_definitions=POSTGRESQL_ENTRY_DEFINITIONS)
+    e = F.col("entry")
+    out = out.withColumn("raw_message", e["raw_message"])
+    out = P.grok(out, POSTGRESQL_LOG_PATTERNS, field="raw_message",
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=POSTGRESQL_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    ts = e["postgresql_log_timestamp"]
+    out = out.withColumn("postgresql_log_timestamp", ts)
+    out = out.withColumn("event_timezone", e["event_timezone"])
+    out = out.withColumn(
+        "timestamp",
+        F.coalesce(
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd HH:mm:ss.SSS zzz")),
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd HH:mm:ss zzz")),
+        ),
+    )
+    out = out.withColumn("process_pid", p["process_pid"])
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("user_name", p["user_name"])
+    out = out.withColumn("postgresql_log_database", p["postgresql_log_database"])
+    out = out.withColumn("postgresql_log_query", p["postgresql_log_query"])
+    out = out.withColumn(
+        "event_duration",
+        F.round(p["temp_duration"] * 1e6).try_cast("long"),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("database")))
+    return out
+
+
+MODULES["postgresql.log"] = postgresql_log
+
+
+# -- kafka.log (kafka/log/ingest/pipeline.yml) -------------------------------
+
+KAFKA_LOG_PATTERNS = [
+    # the reference's (?'kafka.log.trace.full'.*) named group restated as a
+    # grok semantic; under (?m) the dot stops at the newline, so the trace
+    # capture is the first line after the log entry — same as the reference
+    r"(?m)%{TIMESTAMP_ISO8601:kafka.log.timestamp}. %{LOGLEVEL:log.level} +"
+    r"%{JAVALOGMESSAGE:message} \(%{JAVACLASS:kafka.log.class}\)$[ \n]*"
+    r"%{KAFKATRACE:kafka.log.trace.full}",
+    r"(?m)\[%{TIMESTAMP_ISO8601:kafka.log.timestamp}\] \[%{LOGLEVEL:log.level} ?\] "
+    r"\[%{NOTSPACE:kafka.log.thread}\] \[%{NOTSPACE:kafka.log.class}\] \- "
+    r"%{GREEDYDATA:message}",
+]
+
+KAFKA_LOG_DEFINITIONS = {"KAFKATRACE": r".*"}
+
+# unanchored on purpose: ingest grok is search-semantics, so a component
+# bracket ANYWHERE in the message wins (the reference's goldens pin this,
+# e.g. '... cleanup.policy -> [delete], flush.ms -> ...' → component=delete)
+_KAFKA_COMPONENT_RE = r"\[([^\]]*)\][,:.]? +((?s:.*))$"
+
+
+def kafka_log(df: DataFrame, field: str = "message",
+              timezone: str | None = None) -> DataFrame:
+    """kafka/log/ingest/pipeline.yml: entry grok (incl. the stack-trace
+    first-line capture), component split with on_failure → 'unknown', trace
+    class/message split, comma-millis timestamp in the event timezone."""
+    out = P.grok(df, KAFKA_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=KAFKA_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    msg = p["message"]
+    comp = F.regexp_extract(msg, _KAFKA_COMPONENT_RE, 1)
+    rest = F.regexp_extract(msg, _KAFKA_COMPONENT_RE, 2)
+    out = out.withColumn(
+        "kafka_log_component", F.when(comp != "", comp).otherwise("unknown")
+    )
+    out = out.withColumn("message_out", F.when(comp != "", rest).otherwise(msg))
+    trace = p["kafka_log_trace_full"]
+    jc = BUILTIN_PATTERNS["JAVACLASS"]
+    tclass = F.regexp_extract(trace, rf"^({jc}):\s*(.*)$", 1)
+    tmsg = F.regexp_extract(trace, rf"^({jc}):\s*(.*)$", 2)
+    out = out.withColumn("kafka_log_trace_class", F.when(tclass != "", tclass))
+    out = out.withColumn("kafka_log_trace_message", F.when(tclass != "", tmsg))
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("kafka_log_class", p["kafka_log_class"])
+    out = P.timestamp(out, "parsed.kafka_log_timestamp",
+                      ["2006-01-02 15:04:05,000"], target="timestamp",
+                      timezone=timezone)
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(F.upper(F.coalesce(p["log_level"], F.lit("")))
+               .isin("ERROR", "FATAL"), "error").otherwise("info"),
+    )
+    return out
+
+
+MODULES["kafka.log"] = kafka_log

@@ -576,7 +576,8 @@ def decode_duration(
 _GO_TO_JAVA = [
     ("2006", "yyyy"), ("01", "MM"), ("_2", "d"), ("02", "dd"), ("15", "HH"),
     ("04", "mm"), ("05", "ss"), (".999999999", ".SSSSSSSSS"),
-    (".999999", ".SSSSSS"), (".999", ".SSS"), ("Jan", "MMM"), ("Mon", "EEE"),
+    (".999999", ".SSSSSS"), (".999", ".SSS"),
+    (",999", ",SSS"), (",000", ",SSS"), (".000000", ".SSSSSS"), ("Jan", "MMM"), ("Mon", "EEE"),
     ("Z07:00", "XXX"), ("-07:00", "xxx"), ("Z0700", "XX"), ("-0700", "xx"),
     ("MST", "zzz"), ("PM", "a"), ("03", "hh"), ("06", "yy"),
     # bare literal letters in Go layouts must be quoted for JDK patterns

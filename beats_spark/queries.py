@@ -1421,6 +1421,61 @@ def q_module_apache(spark, sf_dir):
     )
 
 
+@register(
+    "module_kafka",
+    """
+WITH expected AS (
+  SELECT CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN'
+              WHEN 2 THEN 'ERROR' ELSE 'DEBUG' END AS level,
+         printf('Component id=%d', user_id % 20) AS component,
+         printf('Handled partition %d', event_id % 100) AS msg,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT level, CASE WHEN level IN ('ERROR','FATAL') THEN 'error' ELSE 'info' END AS etype,
+       count(*) AS n_rows, count(DISTINCT component) AS n_components,
+       min(msg) AS min_msg, max(msg) AS max_msg,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1, 2
+""",
+)
+def q_module_kafka(spark, sf_dir):
+    """The kafka.log module pipeline (modules.py; golden parity pinned by
+    tests/test_modules.py) over synthesized broker-log lines; the oracle
+    derives every expected field independently from the event columns."""
+    from beats_spark.modules import kafka_log
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(
+        "printf('[%s] %s [Component id=%d] Handled partition %d "
+        "(kafka.server.KafkaApis)', "
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss,SSS'), "
+        "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' "
+        "WHEN 2 THEN 'ERROR' ELSE 'DEBUG' END, "
+        "user_id % 20, event_id % 100) AS message"
+    )
+    out = kafka_log(lines)
+    mid = out.groupBy(
+        F.col("log_level").alias("level"),
+        F.col("event_type").alias("etype"),
+        F.col("kafka_log_component").alias("component"),
+    ).agg(
+        F.count("*").alias("_n"),
+        F.min("message_out").alias("_min_msg"),
+        F.max("message_out").alias("_max_msg"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("_min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("_max_ts"),
+    )
+    return mid.groupBy("level", "etype").agg(
+        F.sum("_n").alias("n_rows"),
+        F.count("component").alias("n_components"),
+        F.min("_min_msg").alias("min_msg"),
+        F.max("_max_msg").alias("max_msg"),
+        F.min("_min_ts").alias("min_ts"),
+        F.max("_max_ts").alias("max_ts"),
+    )
+
+
 @register("community_id")  # rows-only: DuckDB has no sha1; the exact hash is
 # pinned to the reference's published vectors in tests/test_network_xml.py
 def q_community_id(spark, sf_dir):

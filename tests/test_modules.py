@@ -17,10 +17,16 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+import re
+
 from beats_spark.modules import (
     apache_access,
     apache_error,
+    kafka_log,
+    mysql_error,
     nginx_access,
+    postgresql_log,
+    redis_log,
     system_syslog,
 )
 
@@ -89,7 +95,11 @@ def _check(rows, golden, fields, ts_field="@timestamp"):
                     mismatches.append((i, fld, "<absent>", got))
                 continue
             got = _get(row, fld)
-            if got != exp[fld]:
+            want = exp[fld]
+            if isinstance(want, list) and isinstance(got, list):
+                # the reference test harness stores appended arrays sorted
+                got, want = sorted(got), sorted(want)
+            if got != want:
                 mismatches.append((i, fld, exp[fld], got))
         if ts_field and ts_field in exp and row.get("timestamp") is not None:
             want = _instant(exp[ts_field])
@@ -191,3 +201,85 @@ def test_osquery_result_golden(spark):
                 tzinfo=datetime.timezone.utc
             ).timestamp()
             assert abs(got - want) < 0.5
+
+
+def _join_negate(lines: list[str], pattern: str) -> list[str]:
+    """multiline config: negate=true match=after — lines NOT matching the
+    pattern continue the previous event."""
+    rx = re.compile(pattern)
+    out: list[str] = []
+    for ln in lines:
+        if out and not rx.search(ln):
+            out[-1] += "\n" + ln
+        else:
+            out.append(ln)
+    return out
+
+
+REDIS_FIELDS = ["log.level", "process.pid", "redis.log.role", "message"]
+
+
+@pytest.mark.parametrize("log", ["redis-5.0.3.log", "redis-darwin-3.0.2.log"])
+def test_redis_log_golden(spark, log):
+    lines, golden = _load_golden("redis", "log", log)
+    # config exclude_lines (ascii-art banner) + the input's empty-line drop
+    lines = [
+        ln for ln in lines
+        if ln.strip() and not re.search(r"^\s+[\-`('.|_]", ln)
+    ]
+    rows = _run(spark, redis_log, lines)
+    _check(rows, golden, REDIS_FIELDS, ts_field=None)
+
+
+MYSQL_ERROR_FIELDS = [
+    "log.level", "mysql.thread_id", "message", "user.name", "source.ip",
+    "event.outcome", "event.category", "event.type", "event.action",
+    "related.ip", "related.user",
+]
+
+
+@pytest.mark.parametrize("log", ["error.log", "mariadb-10.4.8.log"])
+def test_mysql_error_golden(spark, log):
+    lines, golden = _load_golden("mysql", "error", log)
+    joined = _join_negate(lines, r"^([0-9]{4}-[0-9]{2}-[0-9]{2}|[0-9]{6})")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, mysql_error, joined, timezone=tz)
+    _check(rows, golden, MYSQL_ERROR_FIELDS)
+
+
+POSTGRESQL_FIELDS = [
+    "log.level", "process.pid", "message", "postgresql.log.timestamp",
+    "event.timezone",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "postgresql-10-default.log",
+    "postgresql-9.6-multi-core.log",
+])
+def test_postgresql_log_golden(spark, log):
+    lines, golden = _load_golden("postgresql", "log", log)
+    joined = _join_negate(lines, r"^\d{4}-\d{2}-\d{2} ")
+    rows = _run(spark, postgresql_log, joined)
+    _check(rows, golden, POSTGRESQL_FIELDS)
+
+
+KAFKA_FIELDS = [
+    "log.level", "kafka.log.class", "kafka.log.component",
+    "kafka.log.trace.class", "kafka.log.trace.message",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "controller.log", "server.log", "state-change.log",
+    "controller-2.0.0.log", "server-2.0.0.log",
+])
+def test_kafka_log_golden(spark, log):
+    lines, golden = _load_golden("kafka", "log", log)
+    joined = _join_negate(lines, r"^\[")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, kafka_log, joined, timezone=tz)
+    _check(rows, golden, KAFKA_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
