@@ -1081,7 +1081,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = embs.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
+    return SIM.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4, kmeans_iters=1)
 
 
 # --------------------------------------------------------------------------

@@ -216,6 +216,21 @@ def lsh_topk(
     )
 
 
+def _assign_cells(v: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
+    """Nearest-centroid assignment by cosine (centroids broadcast)."""
+    a = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _dot(F.col("_vvec"), F.col("_cvec"))
+                    / (_norm(F.col("_vvec")) * _norm(F.col("_cvec"))))
+    )
+    w = W.partitionBy(id_name).orderBy(F.col("_d").desc(), F.col("cell_id"))
+    return (
+        a.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_name, "_vvec", "cell_id")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -225,19 +240,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
-    """IVF-flat: centroids = deterministic distributed sample, vectors
-    assigned to their nearest cell, queries probe the `n_probe` nearest
-    cells, exact cosine within probed cells.
+    """IVF-flat: centroids = deterministic distributed sample (optionally
+    refined by distributed Lloyd iterations), vectors assigned to their
+    nearest cell, queries probe the `n_probe` nearest cells, exact cosine
+    within probed cells.
 
     Centroid pick is the `n_cells` vectors with the smallest xxhash64(id) —
     a uniform pseudo-random but fully deterministic sample. Spark plans
     orderBy().limit(k) as TakeOrderedAndProject: each partition keeps its
     local top-k and only n_cells rows ever reach the driver, so this holds
     at 10^9+ vectors (the round-1 version collected EVERY id — driver OOM
-    at scale). A k-means refinement would start from this same sample and
-    iterate with groupBy-mean in Spark; for IVF-flat recall at moderate
-    n_cells the hash sample is the standard seeding."""
+    at scale). With kmeans_iters > 0 the seed is refined fully in Spark:
+    assign (broadcast join) → per-cell per-dimension mean (posexplode +
+    groupBy avg) → re-assemble centroids — never a driver-side vector."""
     cents = (
         vectors.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
         .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
@@ -246,15 +263,26 @@ def ivf_topk(
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 
-    # assign every vector to nearest centroid (centroids broadcast)
-    va = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("_d", _dot(F.col("_vvec"), F.col("_cvec"))
-                    / (_norm(F.col("_vvec")) * _norm(F.col("_cvec"))))
-    )
-    wv = W.partitionBy("neighbor_id").orderBy(F.col("_d").desc(), F.col("cell_id"))
-    va = va.withColumn("_rn", F.row_number().over(wv)).filter(F.col("_rn") == 1)
-    va = va.select("neighbor_id", "_vvec", "cell_id")
+    for _ in range(kmeans_iters):
+        assign = _assign_cells(v, cents, "neighbor_id")
+        means = (
+            assign.select("cell_id", F.posexplode("_vvec").alias("_pos", "_val"))
+            .groupBy("cell_id", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+        )
+        cents = (
+            means.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m"))).alias("_s"))
+            .select(
+                "cell_id",
+                F.expr("transform(_s, x -> cast(x._m as float))").alias("_cvec"),
+            )
+            # n_cells rows: materialize so the assign/probe/broadcast
+            # consumers don't each re-run the whole refinement lineage
+            .localCheckpoint()
+        )
+
+    va = _assign_cells(v, cents, "neighbor_id")
 
     qa = (
         q.crossJoin(F.broadcast(cents))

@@ -121,11 +121,17 @@ def test_cosine_topk_finds_planted_twin(spark, embs):
 def test_ivf_recall_vs_brute_force(spark, embs):
     q = embs.filter(F.col("vec_id") < 10)
     brute = S.cosine_topk(embs, q, k=5)
-    ivf = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
     b = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    ivf = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4)
     i = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     recall = len(b & i) / len(b)
     assert recall >= 0.5  # probing half the cells of random data
+    # Lloyd-refined centroids (fully distributed) must not lose recall
+    ivf2 = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4, kmeans_iters=2)
+    i2 = {(r.query_id, r.neighbor_id) for r in ivf2.collect()}
+    assert len(b & i2) / len(b) >= 0.5
+    for r in ivf2.limit(50).collect():
+        assert -1.001 <= r.score <= 1.001
 
 
 def test_lsh_returns_ranked_candidates(spark, embs):
