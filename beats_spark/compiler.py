@@ -106,6 +106,9 @@ register_processor("decode_xml_wineventlog")(lambda c: lambda df:
         df, c["field"], target=c.get("target_field", "winlog"),
         map_ecs_fields=c.get("map_ecs_fields", True),
         ignore_failure=c.get("ignore_failure", False)))
+register_processor("kv")(lambda c: lambda df: P.kv(
+    df, c["field"], c["field_split"], c["value_split"],
+    target=c.get("target_field", "kv")))
 
 # -- enrich ------------------------------------------------------------------
 

@@ -591,3 +591,98 @@ def kafka_log(df: DataFrame, field: str = "message",
 
 
 MODULES["kafka.log"] = kafka_log
+
+
+# -- auditd.log (auditd/log/ingest/pipeline.yml:7-33 + cleanup script) -------
+
+AUDITD_LOG_DEFINITIONS = {
+    "AUDIT_TYPE": r"type=%{NOTSPACE:auditd.log.record_type}",
+    "AUDIT_NODE": r"node=%{IPORHOST:auditd.log.node} ",
+    "AUDIT_PREFIX":
+        r"^(?:%{AUDIT_NODE})?%{AUDIT_TYPE} msg=audit\(%{NUMBER:auditd.log.epoch}"
+        r":%{NUMBER:auditd.log.sequence:long}\):(%{DATA})?",
+    "AUDIT_KEY_VALUES": r"%{WORD}=%{GREEDYDATA}",
+    "ANY": r".*",
+}
+
+AUDITD_LOG_PATTERNS = [
+    r"%{AUDIT_PREFIX} %{AUDIT_KEY_VALUES:auditd.log.kv} old auid=%{NUMBER:auditd.log.old_auid}"
+    r" new auid=%{NUMBER:auditd.log.new_auid} old ses=%{NUMBER:auditd.log.old_ses}"
+    r" new ses=%{NUMBER:auditd.log.new_ses}",
+    "%{AUDIT_PREFIX} %{AUDIT_KEY_VALUES:auditd.log.kv} msg=['\"]([^=]*\\s)?%{ANY:auditd.log.sub_kv}['\"]",
+    r"%{AUDIT_PREFIX} %{AUDIT_KEY_VALUES:auditd.log.kv}",
+    r"%{AUDIT_PREFIX}",
+    r"%{AUDIT_TYPE} %{AUDIT_KEY_VALUES:auditd.log.kv}",
+]
+
+# keys the reference's cleanup script may hex-decode (pipeline.yml:100)
+_AUDITD_HEX_KEYS = (
+    "exe cmd data path comm file name watch cwd acct dir vm old-chardev "
+    "new-chardev old-disk new-disk old-fs new-fs old-net new-net device "
+    "cgroup apparmor operation denied_mask info profile requested_mask "
+    "old-rng new-rng ocomm grp new_group invalid_context sw root_dir proctitle"
+).split()
+
+# convertHexToString (pipeline.yml:84-99): decode only when some byte needs
+# encoding (cp<33, 34, 127); control bytes become ^-escapes (cp XOR 64)
+_AUDITD_HEX_DECODE_SQL = """
+CASE WHEN {k} IN ({hexkeys})
+      AND {v} RLIKE '^[0-9A-Fa-f]+$' AND length({v}) % 2 = 0
+      AND exists(sequence(1, CAST(length({v})/2 AS INT)),
+                 i -> CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT) < 33
+                      OR CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT) IN (34, 127))
+THEN concat_ws('', transform(sequence(1, CAST(length({v})/2 AS INT)),
+     i -> CASE WHEN CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT) < 32
+                    OR CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT) = 127
+               THEN concat('^', char(CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT) ^ 64))
+               ELSE char(CAST(conv(substr({v}, i*2-1, 2), 16, 10) AS INT)) END))
+ELSE {v} END
+"""
+
+
+def auditd_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """auditd/log/ingest/pipeline.yml (grok prefix + kv split + the cleanup
+    painless script as pure SQL expressions). The 2000-line autogenerated
+    record-type→ECS mapping is out of scope; everything up to and including
+    the cleaned `auditd.log` map (drop ?/(null)/empty, hex→ASCII with
+    ^-escaping, quote trim, arch alias) is faithful. The kv splitter itself
+    is operators/parse.kv_entries — all JVM, no UDF past the grok stage."""
+    from beats_spark.operators.parse import _dedup_entries_first_wins, kv_entries
+
+    out = P.grok(df, AUDITD_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=AUDITD_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    # second kv (sub_kv) overlays the first → prepend under first-dup-wins
+    outer = kv_entries(p["auditd_log_kv"], r'\s(?![\w"]+?(\s+|$))', r"(?<!\\)=")
+    sub = kv_entries(p["auditd_log_sub_kv"], r"\s+(?=[^\s]+=)", r"=")
+    empty = F.array().cast("array<struct<key:string,value:string>>")
+    merged = _dedup_entries_first_wins(
+        F.concat(F.coalesce(sub, empty), F.coalesce(outer, empty))
+    )
+    hexkeys = ", ".join(f"'{k}'" for k in _AUDITD_HEX_KEYS)
+    decode_sql = _AUDITD_HEX_DECODE_SQL.format(k="e.key", v="e.value", hexkeys=hexkeys)
+    cleaned = F.expr(f"""
+        transform(
+          filter(_audit_entries, e -> NOT e.value IN ('?', '(null)', '')),
+          e -> struct(
+            e.key AS key,
+            CASE WHEN e.key = 'arch'
+                  AND regexp_replace({decode_sql}, "^['\\"]|['\\"]$", '') = 'c000003e'
+                 THEN 'x86_64'
+                 ELSE regexp_replace({decode_sql}, "^['\\"]|['\\"]$", '') END AS value))
+    """)
+    out = out.withColumn("_audit_entries", merged)
+    out = out.withColumn("auditd_log", F.map_from_entries(cleaned))
+    out = out.drop("_audit_entries")
+    out = out.withColumn("auditd_log_record_type", p["auditd_log_record_type"])
+    out = out.withColumn("auditd_log_sequence", p["auditd_log_sequence"])
+    out = out.withColumn("auditd_log_node", p["auditd_log_node"])
+    out = out.withColumn("event_original", F.col(field))
+    out = out.withColumn(
+        "timestamp", F.timestamp_seconds(p["auditd_log_epoch"].try_cast("double"))
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    return out
+
+
+MODULES["auditd.log"] = auditd_log

@@ -646,3 +646,54 @@ def convert(
             casted = c.cast("string")
         out = out.withColumn(tgt, casted)
     return out
+
+
+# -- kv (key=value splitter) -------------------------------------------------
+
+
+def kv_entries(col: Column, field_split: str, value_split: str) -> Column:
+    """key=value pairs of a string column as array<struct<key,value>> —
+    entirely JVM-side: Spark's `split` takes a full Java regex, so the
+    lookaround-based splits ES ingest kv uses (e.g. auditd's
+    `\\s(?![\\w\"]+?(\\s+|$))`) compile as-is. Parts without a value
+    separator are dropped; the FIRST occurrence of a duplicate key wins
+    (prepend higher-priority entry arrays before `map_from_entries` to
+    overlay, see modules.auditd_log).
+
+    ≅ the `kv` ingest processor the reference's auditd module pipeline is
+    built on (filebeat/module/auditd/log/ingest/pipeline.yml:23-33); libbeat
+    itself has no kv processor, so this is module-parity surface."""
+    parts = F.split(col, field_split)
+    entries = F.transform(
+        parts,
+        lambda p: F.struct(
+            F.split(p, value_split, 2).getItem(0).alias("key"),
+            F.try_element_at(F.split(p, value_split, 2), F.lit(2)).alias("value"),
+        ),
+    )
+    return F.filter(
+        entries, lambda e: e["value"].isNotNull() & (e["key"] != "")
+    )
+
+
+def _dedup_entries_first_wins(entries: Column) -> Column:
+    keys = F.transform(entries, lambda e: e["key"])
+    return F.filter(
+        entries,
+        lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1),
+    )
+
+
+def kv(
+    df: DataFrame,
+    field: str,
+    field_split: str,
+    value_split: str,
+    target: str = "kv",
+) -> DataFrame:
+    """Split `field` into a map<string,string> of key=value pairs (regex
+    splits, first-dup-wins), null map for null input."""
+    entries = _dedup_entries_first_wins(
+        kv_entries(F.col(field), field_split, value_split)
+    )
+    return df.withColumn(target, F.map_from_entries(entries))

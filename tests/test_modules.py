@@ -283,3 +283,42 @@ def test_kafka_log_golden(spark, log):
     for row, exp in zip(rows, golden):
         if "message" in exp:
             assert row["message_out"] == exp["message"], exp
+
+
+@pytest.mark.parametrize("log", [
+    "audit-rhel6.log", "audit-cent7-node.log", "audit-rhel7.log",
+])
+def test_auditd_log_golden(spark, log):
+    from beats_spark.modules import auditd_log
+
+    lines, golden = _load_golden("auditd", "log", log)
+    rows = _run(spark, auditd_log, lines)
+    assert len(rows) >= len(golden)
+    mismatches = []
+    for i, (row, exp) in enumerate(zip(rows, golden)):
+        if any(k.startswith("error.") for k in exp):
+            continue
+        kvmap = row["auditd_log"] or {}
+        parsed = row["parsed"] or {}
+        for k, v in exp.items():
+            if not k.startswith("auditd.log."):
+                continue
+            leaf = k[len("auditd.log."):]
+            if leaf in ("kv", "sub_kv", "epoch"):
+                continue
+            got = kvmap.get(leaf, parsed.get(f"auditd_log_{leaf}"))
+            if got is None:
+                got = row.get(f"auditd_log_{leaf}")
+            if str(got) != str(v):
+                mismatches.append((i, k, v, got))
+        if "@timestamp" in exp and row["timestamp"] is not None:
+            want = _instant(exp["@timestamp"])
+            got_ts = row["timestamp"].replace(
+                tzinfo=datetime.timezone.utc
+            ).timestamp()
+            if abs(got_ts - want) > 0.5:
+                mismatches.append((i, "@timestamp", exp["@timestamp"], row["timestamp"]))
+        if "event.original" in exp and row["event_original"] != exp["event.original"]:
+            mismatches.append((i, "event.original", exp["event.original"],
+                               row["event_original"]))
+    assert not mismatches, mismatches[:8]

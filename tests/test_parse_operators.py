@@ -121,3 +121,45 @@ def test_extract_and_base64(spark):
     out = P.decode_base64_field(out, "b", "decoded")
     row = out.first()
     assert row.tok == "b" and row.decoded == "hello"
+
+
+def test_kv_splits_and_dedups(spark):
+    from beats_spark.operators.parse import kv
+
+    df = spark.createDataFrame(
+        [(1, "a=1 b=two c='quoted' noequals d=last"),
+         (2, None),
+         (3, "a=first a=second")],
+        "id long, s string",
+    )
+    out = {r["id"]: r["m"] for r in
+           kv(df, "s", r"\s+", r"=", target="m").collect()}
+    assert out[1] == {"a": "1", "b": "two", "c": "'quoted'", "d": "last"}
+    assert out[2] is None
+    assert out[3] == {"a": "first"}  # first duplicate wins
+
+
+def test_kv_lookaround_splits(spark):
+    # the auditd splits: values may contain spaces; split only before a
+    # token that is itself key=... shaped
+    from beats_spark.operators.parse import kv
+
+    df = spark.createDataFrame(
+        [(1, 'op=PAM:session grantors=pam_keyinit,pam_limits acct="root"')],
+        "id long, s string",
+    )
+    out = kv(df, "s", r"\s+(?=[^\s]+=)", r"=", target="m").collect()[0]["m"]
+    assert out == {"op": "PAM:session",
+                   "grantors": "pam_keyinit,pam_limits", "acct": '"root"'}
+
+
+def test_kv_via_compiler(spark):
+    from beats_spark.compiler import compile_pipeline
+
+    prog = compile_pipeline([
+        {"kv": {"field": "s", "field_split": r"\s+", "value_split": "=",
+                "target_field": "kvmap"}},
+    ])
+    df = spark.createDataFrame([(1, "x=1 y=2")], "id long, s string")
+    row = prog(df).collect()[0]
+    assert row["kvmap"] == {"x": "1", "y": "2"}
