@@ -686,3 +686,232 @@ def auditd_log(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["auditd.log"] = auditd_log
+
+
+# -- icinga.main (icinga/main/ingest/pipeline.yml) ---------------------------
+
+ICINGA_MAIN_PATTERNS = [
+    r"\[%{TIMESTAMP:icinga.main.timestamp}\] %{WORD:log.level}/"
+    r"%{WORD:icinga.main.facility}: %{GREEDYMULTILINE:message}",
+]
+
+ICINGA_MAIN_DEFINITIONS = {
+    "TIMESTAMP":
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY} %{HOUR}:%{MINUTE}:%{SECOND} %{ISO8601_TIMEZONE}",
+    "GREEDYMULTILINE": "(.|\n)*",
+}
+
+
+def icinga_main(df: DataFrame, field: str = "message") -> DataFrame:
+    """icinga/main/ingest/pipeline.yml: one grok, offset-bearing timestamp,
+    warning/critical → event.type=error."""
+    out = P.grok(df, ICINGA_MAIN_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=ICINGA_MAIN_DEFINITIONS)
+    p = F.col("parsed")
+    out = P.timestamp(out, "parsed.icinga_main_timestamp",
+                      ["2006-01-02 15:04:05 -0700"], target="timestamp")
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(p["log_level"].isin("warning", "critical"), "error")
+        .otherwise("info"),
+    )
+    return out
+
+
+MODULES["icinga.main"] = icinga_main
+
+
+# -- traefik.access (traefik/access/ingest/pipeline.yml) ---------------------
+
+TRAEFIK_DISSECT = (
+    '%{source.address} %{traefik.access.user_identifier} %{user.name} '
+    '[%{traefik.access.time}] "%{http.request.method} %{temp.url_orig} '
+    'HTTP/%{http.version}" %{http.response.status_code} '
+    '%{traefik.access.message}'
+)
+
+TRAEFIK_MSG_PATTERN = (
+    r'(?:%{NUMBER:http.response.body.bytes:long}|-)'
+    r'( (?:"%{DATA:http.request.referrer}"|-)?'
+    r'( (?:"%{DATA:user_agent.original}"|-)?)?'
+    r'( (?:%{NUMBER:traefik.access.request_count:long}|-)?)?'
+    r'( (?:"%{DATA:traefik.access.frontend_name}"|-)?)?'
+    r'( "%{DATA:traefik.access.backend_url}")?'
+    r'( %{NUMBER:temp.duration:long}ms)?)?'
+)
+
+
+def traefik_access(df: DataFrame, field: str = "message") -> DataFrame:
+    """traefik/access/ingest/pipeline.yml: dissect split (our dissect
+    operator, verbatim pattern) → grok over the tail message → uri_parts-lite
+    → HTTPDATE parse → ip/domain split → event.duration ns + ECS appends."""
+    out = P.dissect(df, TRAEFIK_DISSECT, field=field, target_prefix="dis")
+    d = F.col("dis")
+    out = out.withColumn("_tmsg", d["traefik_access_message"])
+    out = P.grok(out, [TRAEFIK_MSG_PATTERN], field="_tmsg",
+                 target_prefix="parsed", flag_failures=False)
+    p = F.col("parsed")
+    url = d["temp_url_orig"]
+    raw_path = F.split(url, r"\?").getItem(0)
+    out = out.withColumn("url_original", url)
+    out = out.withColumn("url_path", raw_path)
+    out = out.withColumn(
+        "url_query",
+        F.when(url.contains("?"), F.regexp_replace(url, r"^[^?]*\?", "")),
+    )
+    ext = F.regexp_extract(raw_path, r"\.([^/.]+)$", 1)
+    out = out.withColumn("url_extension", F.when(ext != "", ext))
+    status = d["http_response_status_code"].try_cast("long")
+    out = out.withColumn("http_response_status_code", status)
+    out = out.withColumn("http_request_method", d["http_request_method"])
+    out = out.withColumn("http_version", d["http_version"])
+    out = out.withColumn("user_name", d["user_name"])
+    out = out.withColumn("traefik_access_user_identifier",
+                         d["traefik_access_user_identifier"])
+    addr = d["source_address"]
+    out = out.withColumn("source_address", addr)
+    out = out.withColumn("source_ip", F.when(addr.rlike(_IP_RE), addr))
+    out = out.withColumn("source_domain", F.when(~addr.rlike(_IP_RE), addr))
+    out = P.timestamp(out, "dis.traefik_access_time",
+                      ["02/Jan/2006:15:04:05 -0700"], target="timestamp")
+    out = out.withColumn(
+        "event_duration",
+        (p["temp_duration"] * F.lit(1000000)).try_cast("long"),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    has_method = d["http_request_method"].isNotNull() & (d["http_request_method"] != "-")
+    out = out.withColumn("event_category", F.when(has_method, F.array(F.lit("web"))))
+    out = out.withColumn("event_type", F.when(has_method, F.array(F.lit("access"))))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    out = out.withColumn(
+        "related_ip", F.when(F.col("source_ip").isNotNull(),
+                             F.array(F.col("source_ip")))
+    )
+    out = out.withColumn(
+        "related_user",
+        F.when(d["user_name"].isNotNull() & (d["user_name"] != "-"),
+               F.array(d["user_name"])),
+    )
+    return out.drop("_tmsg")
+
+
+MODULES["traefik.access"] = traefik_access
+
+
+# -- iis.access (iis/access/ingest/pipeline.yml) -----------------------------
+
+IIS_ACCESS_PATTERNS = [
+    r"%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{IPORHOST:destination.address}) (?:-|%{WORD:http.request.method})"
+    r" (?:-|%{NOTSPACE:_tmp.url_path}) (?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) (?:-|%{NOTSPACE:user.name})"
+    r" (?:-|%{IPORHOST:source.address}) (?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NOTSPACE:http.request.referrer})"
+    r" (?:-|%{NUMBER:http.response.status_code:long}) (?:-|%{NUMBER:iis.access.sub_status:long})"
+    r" (?:-|%{NUMBER:iis.access.win32_status:long}) (?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?",
+    r"%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{NOTSPACE:iis.access.site_name}) (?:-|%{WORD:http.request.method})"
+    r" (?:-|%{NOTSPACE:_tmp.url_path}) (?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) (?:-|%{NOTSPACE:user.name})"
+    r" (?:-|%{IPORHOST:source.address}) (?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NOTSPACE:iis.access.cookie})"
+    r" (?:-|%{NOTSPACE:http.request.referrer}) (?:-|%{NOTSPACE:destination.domain}) (?:-|%{NUMBER:http.response.status_code:long})"
+    r" (?:-|%{NUMBER:iis.access.sub_status:long}) (?:-|%{NUMBER:iis.access.win32_status:long})"
+    r" (?:-|%{NUMBER:http.response.body.bytes:long}) (?:-|%{NUMBER:http.request.body.bytes:long})"
+    r" (?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?",
+    r"%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{NOTSPACE:iis.access.site_name}) (?:-|%{NOTSPACE:iis.access.server_name})"
+    r" (?:-|%{IPORHOST:destination.address}) (?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path})"
+    r" (?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) (?:-|%{NOTSPACE:user.name})"
+    r" (?:-|%{IPORHOST:source.address}) (?:-|HTTP/%{NUMBER:http.version}) (?:-|%{NOTSPACE:user_agent.original})"
+    r" (?:-|%{NOTSPACE:iis.access.cookie}) (?:-|%{NOTSPACE:http.request.referrer}) (?:-|%{NOTSPACE:destination.domain})"
+    r" (?:-|%{NUMBER:http.response.status_code:long}) (?:-|%{NUMBER:iis.access.sub_status:long})"
+    r" (?:-|%{NUMBER:iis.access.win32_status:long}) (?:-|%{NUMBER:http.response.body.bytes:long})"
+    r" (?:-|%{NUMBER:http.request.body.bytes:long}) (?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?",
+    # markdown-mangled variant ([ip](http://ip)); the duplicate address
+    # semantic coalesces first-match-wins here (ES grok emits a 2-array)
+    r"%{TIMESTAMP_ISO8601:iis.access.time} \[%{IPORHOST:destination.address}\]\(http://%{IPORHOST:destination.address}\)"
+    r" (?:-|%{WORD:http.request.method}) (?:-|%{NOTSPACE:_tmp.url_path}) (?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long})"
+    r" (?:-|%{NOTSPACE:user.name}) \[%{IPORHOST:source.address}\]\(http://%{IPORHOST:source.address}\)"
+    r" (?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NUMBER:http.response.status_code:long}) (?:-|%{NUMBER:iis.access.sub_status:long})"
+    r" (?:-|%{NUMBER:iis.access.win32_status:long}) (?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?",
+    # 13-field layout: like the first but with no referrer column
+    r"%{TIMESTAMP_ISO8601:iis.access.time} (?:-|%{IPORHOST:destination.address}) (?:-|%{WORD:http.request.method})"
+    r" (?:-|%{NOTSPACE:_tmp.url_path}) (?:-|%{NOTSPACE:_tmp.url_query}) (?:-|%{NUMBER:destination.port:long}) (?:-|%{NOTSPACE:user.name})"
+    r" (?:-|%{IPORHOST:source.address}) (?:-|%{NOTSPACE:user_agent.original}) (?:-|%{NUMBER:http.response.status_code:long})"
+    r" (?:-|%{NUMBER:iis.access.sub_status:long}) (?:-|%{NUMBER:iis.access.win32_status:long})"
+    r" (?:-|%{NUMBER:temp.duration:long})( (?:-|%{IPORHOST:network.forwarded_ip}))?",
+]
+
+
+def iis_access(df: DataFrame, field: str = "message") -> DataFrame:
+    """iis/access/ingest/pipeline.yml (the three W3C field layouts used by
+    the goldens): grok bank → url assembly + form-urldecode of user agent →
+    %zone-stripped ips → naive-UTC timestamp → duration ns + ECS appends."""
+    out = P.grok(df, IIS_ACCESS_PATTERNS, field=field, target_prefix="parsed")
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    out = out.withColumn("url_path", p["_tmp_url_path"])
+    out = out.withColumn("url_original", p["_tmp_url_path"])
+    q = p["_tmp_url_query"]
+    out = out.withColumn(
+        "url_query", F.when(q.isNotNull(), F.coalesce(F.try_url_decode(q), q))
+    )
+    ua = p["user_agent_original"]
+    # the pipeline urldecodes user_agent.original IN PLACE → rewrite the
+    # parsed struct field (the '+' form-encoding is the W3C log format)
+    out = out.withColumn(
+        "parsed",
+        F.when(
+            F.col("parsed").isNotNull(),
+            F.col("parsed").withField(
+                "user_agent_original",
+                F.when(ua.isNotNull(), F.coalesce(F.try_url_decode(ua), ua)),
+            ),
+        ),
+    )
+    # NOZONEIP: strip a %zone suffix. On the markdown-mangled layout the
+    # reference's address is a 2-array, so its NOZONEIP grok fails
+    # (ignore_failure) and no ip fields are set — mirror that by gating on
+    # the markdown marker.
+    mk = F.col(field).rlike(r"\]\(http://")
+    dst = F.regexp_extract(p["destination_address"], r"^([^%]*)", 1)
+    src = F.regexp_extract(p["source_address"], r"^([^%]*)", 1)
+    out = out.withColumn(
+        "destination_ip",
+        F.when(p["destination_address"].isNotNull() & ~mk, dst),
+    )
+    out = out.withColumn(
+        "source_ip", F.when(p["source_address"].isNotNull() & ~mk, src)
+    )
+    out = P.timestamp(out, "parsed.iis_access_time",
+                      ["2006-01-02 15:04:05"], target="timestamp")
+    out = out.withColumn(
+        "event_duration", (p["temp_duration"] * F.lit(1000000)).try_cast("long")
+    )
+    status = p["http_response_status_code"]
+    out = out.withColumn("event_kind", F.lit("event"))
+    both = F.col("source_ip").isNotNull() & F.col("destination_ip").isNotNull()
+    out = out.withColumn(
+        "event_category",
+        F.when(both, F.array(F.lit("web"), F.lit("network")))
+        .otherwise(F.array(F.lit("web"))),
+    )
+    out = out.withColumn("event_type", F.when(both, F.array(F.lit("connection"))))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.filter(F.array(F.col("source_ip"), F.col("destination_ip")),
+                 lambda x: x.isNotNull()),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.when(F.size("related_ip") > 0, F.col("related_ip")),
+    )
+    return out
+
+
+MODULES["iis.access"] = iis_access
