@@ -114,3 +114,31 @@ def test_no_collect_in_hot_path(spark):
     _ = routed.columns
     after = tracker.getJobIdsForGroup(None) or []
     assert len(after) == len(before)
+
+
+def test_prefix_filter_plan_shape(spark):
+    import beats_spark.dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    nodes = _nodes(_formatted_plan(
+        D.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    ))
+    # exact similarity join must stay bucketed equi-joins: never a cartesian
+    # product, never a Python stage, no sort-merge join at test scale
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert "ArrowEvalPython" not in nodes
+    assert "BatchEvalPython" not in nodes
+    assert "SortMergeJoin" not in nodes
+
+
+def test_connected_components_is_driver_light(spark):
+    # the CC loop's driver traffic must stay a 2-value fingerprint per
+    # round — the component assignment itself is never collected
+    import inspect
+
+    from beats_spark import graph
+
+    src = inspect.getsource(graph)
+    assert src.count("collect()") == 1  # only the fingerprint agg
+    assert "toPandas" not in src
