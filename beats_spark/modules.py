@@ -915,3 +915,127 @@ def iis_access(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["iis.access"] = iis_access
+
+
+# -- haproxy.log (haproxy/log/ingest/pipeline.yml) ---------------------------
+
+HAPROXY_LOG_PATTERNS = [
+    r"%{HAPROXY_DATE:haproxy.request_date} %{IPORHOST:haproxy.source} %{PROG:process.name}(?:\[%{POSINT:process.pid:long}\])?:"
+    r" %{GREEDYDATA} (%{IPORHOST:source.address}|-):%{POSINT:source.port:long} %{WORD}"
+    r" %{IPORHOST:destination.ip}:%{POSINT:destination.port:long} \(%{WORD:haproxy.frontend_name}/%{WORD:haproxy.mode}\)",
+    r"(%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]: )?(%{IP:source.address}|-):%{NUMBER:source.port:long}"
+    r" \[%{NOTSPACE:haproxy.request_date}\] %{NOTSPACE:haproxy.frontend_name} %{NOTSPACE:haproxy.backend_name}/%{NOTSPACE:haproxy.server_name}"
+    r" (%{IPORHOST:destination.address} )?%{NUMBER:haproxy.http.request.time_wait_ms:long}/%{NUMBER:haproxy.total_waiting_time_ms:long}/%{NUMBER:haproxy.connection_wait_time_ms:long}/%{NUMBER:haproxy.http.request.time_wait_without_data_ms:long}/%{NUMBER:temp.duration:long}"
+    r" %{NUMBER:http.response.status_code:long} %{NUMBER:haproxy.bytes_read:long} %{NOTSPACE:haproxy.http.request.captured_cookie}"
+    r" %{NOTSPACE:haproxy.http.response.captured_cookie} %{NOTSPACE:haproxy.termination_state}"
+    r" %{NUMBER:haproxy.connections.active:long}/%{NUMBER:haproxy.connections.frontend:long}/%{NUMBER:haproxy.connections.backend:long}/%{NUMBER:haproxy.connections.server:long}/%{NUMBER:haproxy.connections.retries:long}"
+    r" %{NUMBER:haproxy.server_queue:long}/%{NUMBER:haproxy.backend_queue:long} (\{%{DATA:haproxy.http.request.captured_headers}\}"
+    r" \{%{DATA:haproxy.http.response.captured_headers}\} |\{%{DATA}\} )?\"%{GREEDYDATA:haproxy.http.request.raw_request_line}\"",
+    r"(%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]: )?(%{IP:source.address}|-):%{NUMBER:source.port:long}"
+    r" \[%{NOTSPACE:haproxy.request_date}\] %{NOTSPACE:haproxy.frontend_name}/%{NOTSPACE:haproxy.bind_name}"
+    r" %{GREEDYDATA:haproxy.error_message}",
+    r"%{HAPROXY_DATE} %{IPORHOST:haproxy.source} (%{NOTSPACE:process.name}\[%{NUMBER:process.pid:long}\]:"
+    r" )?(%{IP:source.address}|-):%{NUMBER:source.port:long} \[%{NOTSPACE:haproxy.request_date}\]"
+    r" %{NOTSPACE:haproxy.frontend_name} %{NOTSPACE:haproxy.backend_name}/%{NOTSPACE:haproxy.server_name}"
+    r" %{NUMBER:haproxy.total_waiting_time_ms:long}/%{NUMBER:haproxy.connection_wait_time_ms:long}/%{NUMBER:temp.duration:long}"
+    r" %{NUMBER:haproxy.bytes_read:long} %{NOTSPACE:haproxy.termination_state} %{NUMBER:haproxy.connections.active:long}/%{NUMBER:haproxy.connections.frontend:long}/%{NUMBER:haproxy.connections.backend:long}/%{NUMBER:haproxy.connections.server:long}/%{NUMBER:haproxy.connections.retries:long}"
+    r" %{NUMBER:haproxy.server_queue:long}/%{NUMBER:haproxy.backend_queue:long}",
+]
+
+HAPROXY_LOG_DEFINITIONS = {
+    "HAPROXY_DATE":
+        r"(%{MONTHDAY}[/-]%{MONTH}[/-]%{YEAR}:%{HOUR}:%{MINUTE}:%{SECOND})|%{SYSLOGTIMESTAMP}",
+}
+
+
+def haproxy_log(df: DataFrame, field: str = "message",
+                timezone: str | None = None) -> DataFrame:
+    """haproxy/log/ingest/pipeline.yml: 4-pattern bank (default/httplog/
+    errorlog/tcplog layouts, verbatim), request-line grok, ip-vs-domain
+    splits, captured-header splits, duration ns, ECS appends."""
+    out = P.grok(df, HAPROXY_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=HAPROXY_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    out = P.timestamp(out, "parsed.haproxy_request_date",
+                      ["02/Jan/2006:15:04:05.999"], target="timestamp",
+                      timezone=timezone)
+    raw = p["haproxy_http_request_raw_request_line"]
+    m = F.regexp_extract(raw, r"^(\S+)\s+(\S+)\s+HTTP/(\S+)$", 1)
+    out = out.withColumn("http_request_method", F.when(m != "", m))
+    u = F.regexp_extract(raw, r"^(\S+)\s+(\S+)\s+HTTP/(\S+)$", 2)
+    out = out.withColumn("url_original", F.when(u != "", u))
+    v = F.regexp_extract(raw, r"^(\S+)\s+(\S+)\s+HTTP/(\S+)$", 3)
+    out = out.withColumn("http_version", F.when(v != "", v))
+    addr = p["source_address"]
+    out = out.withColumn("source_ip", F.when(addr.rlike(_IP_RE), addr))
+    dst = p["destination_address"]
+    out = out.withColumn(
+        "destination_ip",
+        F.coalesce(p["destination_ip"], F.when(dst.rlike(_IP_RE), dst)),
+    )
+    out = out.withColumn(
+        "destination_domain", F.when(dst.isNotNull() & ~dst.rlike(_IP_RE), dst)
+    )
+    for side in ("request", "response"):
+        cap = p[f"haproxy_http_{side}_captured_headers"]
+        # ES split = Java String.split: trailing empty strings are dropped
+        # ('a||' → ['a'], '|||' → []); the processor replaces the field in
+        # place, so rewrite the parsed struct entry
+        trimmed = F.regexp_replace(cap, r"\|+$", "")
+        split_col = (
+            F.when(cap.isNull(), F.lit(None).cast("array<string>"))
+            .when(trimmed == "", F.array().cast("array<string>"))
+            .otherwise(F.split(trimmed, r"\|"))
+        )
+        out = out.withColumn(
+            "parsed",
+            F.when(
+                F.col("parsed").isNotNull(),
+                F.col("parsed").withField(
+                    f"haproxy_http_{side}_captured_headers", split_col
+                ),
+            ),
+        )
+    out = out.withColumn(
+        "event_duration", (p["temp_duration"] * F.lit(1000000)).try_cast("long")
+    )
+    status = p["http_response_status_code"]
+    has_http = (
+        status.isNotNull() | (m != "") | p["haproxy_http_request_captured_cookie"].isNotNull()
+    )
+    out = out.withColumn(
+        "http_response_bytes", F.when(has_http, p["haproxy_bytes_read"])
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    both = F.col("source_ip").isNotNull() & F.col("destination_ip").isNotNull()
+    is_web = (p["haproxy_mode"] == "HTTP") | has_http
+    out = out.withColumn(
+        "event_category",
+        F.when(F.coalesce(is_web, F.lit(False)) & both,
+               F.array(F.lit("web"), F.lit("network")))
+        .when(F.coalesce(is_web, F.lit(False)), F.array(F.lit("web")))
+        .when(both, F.array(F.lit("network"))),
+    )
+    out = out.withColumn("event_type", F.when(both, F.array(F.lit("connection"))))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.filter(F.array(F.col("source_ip"), F.col("destination_ip")),
+                 lambda x: x.isNotNull()),
+    )
+    out = out.withColumn(
+        "related_ip", F.when(F.size("related_ip") > 0, F.col("related_ip"))
+    )
+    out = out.withColumn(
+        "related_hosts",
+        F.when(F.col("destination_domain").isNotNull(),
+               F.array(F.col("destination_domain"))),
+    )
+    return out
+
+
+MODULES["haproxy.log"] = haproxy_log

@@ -382,3 +382,39 @@ def test_iis_access_golden(spark, log):
 def iis_access_fn():
     from beats_spark.modules import iis_access
     return iis_access
+
+
+HAPROXY_FIELDS = [
+    "process.name", "process.pid", "source.address", "source.ip",
+    "source.port", "destination.ip", "destination.port",
+    "destination.address", "destination.domain",
+    "haproxy.frontend_name", "haproxy.backend_name", "haproxy.server_name",
+    "haproxy.mode", "haproxy.source", "haproxy.bytes_read",
+    "haproxy.termination_state", "haproxy.connections.active",
+    "haproxy.connections.frontend", "haproxy.connections.backend",
+    "haproxy.connections.server", "haproxy.connections.retries",
+    "haproxy.server_queue", "haproxy.backend_queue",
+    "haproxy.total_waiting_time_ms", "haproxy.connection_wait_time_ms",
+    "haproxy.http.request.time_wait_ms",
+    "haproxy.http.request.time_wait_without_data_ms",
+    "haproxy.http.request.captured_cookie",
+    "haproxy.http.response.captured_cookie",
+    "haproxy.http.request.captured_headers",
+    "haproxy.http.response.captured_headers",
+    "haproxy.http.request.raw_request_line",
+    "http.request.method", "http.version", "http.response.status_code",
+    "http.response.bytes", "event.duration", "event.outcome",
+    "event.category", "event.type", "related.ip", "related.hosts",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "default.log", "haproxy.log", "tcplog.log", "httplog-no-headers.log",
+])
+def test_haproxy_log_golden(spark, log):
+    from beats_spark.modules import haproxy_log
+
+    lines, golden = _load_golden("haproxy", "log", log)
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, haproxy_log, lines, timezone=tz)
+    _check(rows, golden, HAPROXY_FIELDS, ts_field=None)
