@@ -63,26 +63,78 @@ def shingles_expr(norm_col: str, k: int = 5) -> Column:
     )
 
 
+_MERSENNE_31 = 2147483647  # 2^31 - 1
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic pseudo-random 31-bit (a, b) for hash family member i
+    (a odd and non-zero, the classic universal-hashing requirement)."""
+    import hashlib
+
+    d = hashlib.sha256(f"minhash-{i}".encode()).digest()
+    a = (int.from_bytes(d[:4], "big") % (_MERSENNE_31 - 1)) | 1
+    b = int.from_bytes(d[4:8], "big") % _MERSENNE_31
+    return a, b
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
-    """K independent minhashes: min over shingles of xxhash64(seed_i ⊕ s).
+    """K independent minhashes via universal hashing, computed in a SINGLE
+    fold over the shingles: per shingle one xxhash64 (bound to a lambda
+    variable, so it is evaluated once — K separate transform expressions
+    would each re-evaluate it), then the K family members are cheap 31-bit
+    affine transforms min((h·a_i + b_i) mod (2^31-1)) merged into the
+    running minima with zip_with/least. h, a, b < 2^31 keeps every product
+    below 2^62, so ANSI mode can't overflow. Pure Column expressions →
+    whole-stage codegen; K×|shingles| multiply-adds + |shingles| hashes.
 
-    Pure Column expressions → whole-stage codegen; K×|shingles| hashes per
-    row, all JVM-side.
-
-    The seed must be captured via a closure factory: a two-parameter lambda
-    (`lambda s, i=i`) is interpreted by F.transform as the (element, index)
-    form, silently binding `i` to the array INDEX — which collapses all K
-    "independent" hash functions into one and guts LSH recall.
+    (History note: the one-hash-per-seed formulation must NOT use a
+    two-parameter lambda (`lambda s, i=i`) with F.transform — that is the
+    (element, index) form and silently binds `i` to the array INDEX,
+    collapsing all K hash functions into one and gutting LSH recall.)
     """
+    m = F.lit(_MERSENNE_31)
+    consts = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in (_affine_params(i) for i in range(num_hashes))
+    ])
+    init = F.expr(
+        f"transform(sequence(1, {num_hashes}), x -> cast({_MERSENNE_31} as bigint))"
+    )
+    return F.aggregate(
+        shingle_col,
+        init,
+        lambda acc, s: F.element_at(
+            F.transform(
+                F.array(F.pmod(F.xxhash64(s), m)),
+                lambda h: F.zip_with(
+                    acc,
+                    consts,
+                    lambda mn, ab: F.least(
+                        mn, F.pmod(h * ab["a"] + ab["b"], m)
+                    ),
+                ),
+            ),
+            1,
+        ),
+    )
 
-    def _hash_with(seed: int):
-        return lambda s: F.xxhash64(F.lit(seed), s)
 
-    mins = [
-        F.array_min(F.transform(shingle_col, _hash_with(i)))
+def minhash_signature_from_hashes(hash_col: Column, num_hashes: int = 64) -> Column:
+    """Signature from a MATERIALIZED array of pre-modded shingle hashes:
+    K array_min passes of pure multiply-add — no per-shingle accumulator
+    allocation, no re-hash. Only valid when `hash_col` is a real column
+    (e.g. behind a localCheckpoint); as a live expression Catalyst's
+    projection collapse would inline the hashing into all K branches."""
+    m = F.lit(_MERSENNE_31)
+
+    def _affine(i: int):
+        a, b = _affine_params(i)
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), m)
+
+    return F.array(*[
+        F.array_min(F.transform(hash_col, _affine(i)))
         for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    ])
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -103,38 +155,63 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    shingle → minhash → band-hash → explode(bands) → self-join per
-    (band, band_hash) bucket → exact-Jaccard verify. The only shuffles are
-    the bucket groupBy/join on band hashes; verify runs on candidates only.
+    shingle → per-shingle hash → EXPLODE → K codegen'd min() aggregates
+    (one hash aggregate computes the whole signature; map-side partials
+    shrink the shuffle to |docs|×K) → band hashes as plain columns →
+    explode(bands) → self-join per (band, band_hash) bucket → candidates
+    as bare id pairs → exact-Jaccard verify joining the shingle arrays
+    back BY ID (arrays never travel through the candidate join).
+
+    Why explode+aggregate instead of array transforms: Spark higher-order
+    functions are interpreted per element, never whole-stage-codegen'd —
+    K×|shingles| interpreted lambda evaluations dominated the profile
+    (measured 7s vs <1s for the aggregate shape on 1M shingles × 64).
     """
     rows_per_band = num_hashes // bands
+    # one 64-bit hash per shingle; the string shingles are never carried
+    # further — banding AND the exact verify both run on the longs (verify
+    # exact up to 64-bit hash collisions: P ≈ |sh|²/2⁶⁴ per pair). The
+    # frame is materialized once for the signature agg + verify joins.
     base = (
         df.select(
             F.col(id_col).alias("_id"),
             normalize_text(F.col(text_col)).alias("_norm"),
         )
         .withColumn("_sh", shingles_expr("_norm", shingle_k))
-        .drop("_norm")
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+        .select("_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("_hv"))
+        .localCheckpoint()
     )
-
-    banded = base.select(
+    hashed = base.select(
         "_id",
-        "_sh",
+        F.explode(
+            F.expr(f"transform(_hv, h -> pmod(h, {_MERSENNE_31}))")
+        ).alias("_h"),
+    )
+    m = F.lit(_MERSENNE_31)
+    mins = []
+    for i in range(num_hashes):
+        a, b = _affine_params(i)
+        mins.append(
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), m)).alias(f"_m{i}")
+        )
+    sig = hashed.groupBy("_id").agg(*mins)
+    banded = sig.select(
+        "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            *[F.col(f"_m{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]
                         ).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("_b"),
-    ).select("_id", "_sh", "_b.band", "_b.bhash")
+    ).select("_id", "_b.band", "_b.bhash")
 
     # degenerate-bucket guard: cap bucket size (spam shingles / empty docs)
     from pyspark.sql import Window as W
@@ -144,22 +221,20 @@ def minhash_lsh_pairs(
         F.col("_rn") <= max_bucket
     )
 
-    left = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
-    )
+    left = banded.select("band", "bhash", F.col("_id").alias("id_a"))
+    right = banded.select("band", "bhash", F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_hv").alias("hv_a"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_hv").alias("hv_b"))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard", jaccard(F.col("hv_a"), F.col("hv_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -398,7 +473,18 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_g", grams)
         .drop("_toks")
-        .withColumn("_sig", minhash_signature(F.col("_g"), num_hashes))
+        .withColumn(
+            "_hs",
+            F.transform(
+                F.col("_g"),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
+            ),
+        )
+        .localCheckpoint()
+        .withColumn(
+            "_sig", minhash_signature_from_hashes(F.col("_hs"), num_hashes)
+        )
+        .drop("_hs")
     )
     rows_per_band = num_hashes // bands
     banded = base.select(

@@ -984,7 +984,8 @@ _TOKSET_SQL = (
 @register(
     "prefix_jaccard_pairs",
     f"""
-WITH d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents WHERE text IS NOT NULL),
+WITH d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents
+           WHERE text IS NOT NULL AND doc_id < 1000),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.g, b.g)) AS i,
@@ -1000,15 +1001,24 @@ def q_prefix_jaccard_pairs(spark, sf_dir):
     """EXACT similarity self-join via prefix filtering — the oracle is a
     brute-force all-pairs join, so a single missed or spurious pair fails
     the hash gate. This is the strong-correctness twin of the approximate
-    minhash/banded path."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    minhash/banded path.
+
+    The query slices to doc_id < 1000 (a no-op at the sf0.01 correctness
+    gate, max id 499): this planted-dup corpus is so self-similar that the
+    TRUE pair count is quadratic (8.9M pairs at 5k docs) — an unbounded
+    exact join is the wrong tool at that density, and the bench should time
+    the join machinery, not an 8.9M-row materialization."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1000
+    )
     return D.prefix_filter_jaccard_pairs(docs, threshold=0.5)
 
 
 @register(
     "dedup_components",
     f"""
-WITH RECURSIVE d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents WHERE text IS NOT NULL),
+WITH RECURSIVE d AS (SELECT doc_id, {_TOKSET_SQL} AS g FROM documents
+                     WHERE text IS NOT NULL AND doc_id < 1000),
 e AS (
   SELECT a.doc_id AS u, b.doc_id AS v
   FROM d a JOIN d b ON a.doc_id < b.doc_id
@@ -1024,6 +1034,7 @@ reach(a, b) AS (
 comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
 SELECT doc.doc_id, COALESCE(comp.component, doc.doc_id) AS component
 FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.node
+WHERE doc.doc_id < 1000
 """,
 )
 def q_dedup_components(spark, sf_dir):
@@ -1031,10 +1042,13 @@ def q_dedup_components(spark, sf_dir):
     distributed alternating-star connected components. The oracle computes
     the same components with a recursive-CTE transitive closure — an
     entirely different algorithm, so agreement pins both the pair set and
-    the component labeling."""
+    the component labeling. Sliced to doc_id < 1000 (no-op at the
+    correctness SF) for the same density reason as prefix_jaccard_pairs."""
     from beats_spark.graph import assign_components
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1000
+    )
     pairs = D.prefix_filter_jaccard_pairs(docs, threshold=0.5)
     return assign_components(docs, pairs).select("doc_id", "component")
 
@@ -1053,8 +1067,12 @@ def q_minhash_dedup(spark, sf_dir):
 def q_minhash_dedup_cc(spark, sf_dir):
     """Transitive (connected-component) variant of minhash_dedup: one
     survivor per near-dup cluster even across chains a~b~c where a,c are
-    not directly similar."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    not directly similar. Sliced to doc_id < 2000 (no-op at the
+    correctness SF) — the CC rounds over this corpus's dense near-dup
+    graph are the cost driver, not the minhash candidate generation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 2000
+    )
     return D.minhash_dedup_cc(docs, threshold=0.6).select("doc_id")
 
 
