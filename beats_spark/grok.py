@@ -37,6 +37,8 @@ BUILTIN_PATTERNS: dict[str, str] = {
     "BASE10NUM": r"[+-]?(?:[0-9]+(?:\.[0-9]+)?|\.[0-9]+)",
     "BASE16NUM": r"(?:0[xX])?[0-9A-Fa-f]+",
     "BASE16FLOAT": r"\b[+-]?(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"(?:-|\w+)",
     "USERNAME": r"[a-zA-Z0-9._-]+",
     "USER": r"[a-zA-Z0-9._-]+",
     "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+",

@@ -527,6 +527,16 @@ def postgresql_log(df: DataFrame, field: str = "message") -> DataFrame:
     )
     out = out.withColumn("event_kind", F.lit("event"))
     out = out.withColumn("event_category", F.array(F.lit("database")))
+    code = p["postgresql_log_sql_state_code"]
+    out = out.withColumn(
+        "event_type",
+        F.when(code.isNull() | code.rlike(r"^0[012]"), F.array(F.lit("info")))
+        .otherwise(F.array(F.lit("error"))),
+    )
+    out = out.withColumn(
+        "related_user",
+        F.when(p["user_name"].isNotNull(), F.array(p["user_name"])),
+    )
     return out
 
 
@@ -1039,3 +1049,286 @@ def haproxy_log(df: DataFrame, field: str = "message",
 
 
 MODULES["haproxy.log"] = haproxy_log
+
+
+# -- postgresql.log CSV path (postgresql/log/ingest/pipeline-csv.yml) --------
+
+PG_CSV_FIELDS = [
+    "user_name", "postgresql_log_database", "process_pid",
+    "tempcsv_connection_from", "postgresql_log_session_id",
+    "tempcsv_session_line_num", "postgresql_log_command_tag",
+    "tempcsv_session_start_time", "postgresql_log_virtual_transaction_id",
+    "postgresql_log_transaction_id", "log_level",
+    "postgresql_log_sql_state_code", "tempcsv_message",
+    "postgresql_log_detail", "postgresql_log_hint",
+    "postgresql_internal_query", "tempcsv_internal_query_pos",
+    "postgresql_log_context", "postgresql_log_query", "tempcsv_query_pos",
+    "postgresql_log_location", "postgresql_log_application_name",
+    "postgresql_log_backend_type",
+]
+
+_PG_QUERY_STEP = r"(parse|bind|statement|fastpath function call|execute|execute fetch from)"
+
+
+def postgresql_csv(df: DataFrame, field: str = "message") -> DataFrame:
+    """postgresql/log/ingest/pipeline.yml (entry split, separator == ',') +
+    pipeline-csv.yml: 23-column csv decode (from_csv — quote-doubling
+    escape, embedded newlines), connection_from split, duration/query-step
+    message grok as regexp extracts, zone-name session/record timestamps."""
+    out = P.grok(df, POSTGRESQL_ENTRY_PATTERNS, field=field,
+                 target_prefix="entry",
+                 pattern_definitions=POSTGRESQL_ENTRY_DEFINITIONS)
+    e = F.col("entry")
+    schema = ", ".join(f"c{i} string" for i in range(23))
+    out = out.withColumn(
+        "csv",
+        F.from_csv(e["raw_message"], schema,
+                   {"escape": '"', "multiLine": "true"}),
+    )
+    c = F.col("csv")
+    # csv trim + empty→absent
+    for i, name in enumerate(PG_CSV_FIELDS):
+        v = F.trim(c[f"c{i}"])
+        out = out.withColumn(name, F.when(v != "", v))
+    conn = F.col("tempcsv_connection_from")
+    out = out.withColumn(
+        "postgresql_log_client_addr",
+        F.when(conn.isNotNull(),
+               F.regexp_extract(conn, r"^(.*?)(?::(\d+))?$", 1)),
+    )
+    port = F.regexp_extract(conn, r"^(.*?)(?::(\d+))?$", 2)
+    out = out.withColumn(
+        "postgresql_log_client_port",
+        F.when(port != "", port).try_cast("int"),
+    )
+    out = out.withColumn(
+        "postgresql_log_session_line_num",
+        F.col("tempcsv_session_line_num").try_cast("long"),
+    )
+    out = out.withColumn(
+        "postgresql_log_transaction_id",
+        F.col("postgresql_log_transaction_id").try_cast("long"),
+    )
+    sst = F.col("tempcsv_session_start_time")
+    out = out.withColumn(
+        "postgresql_log_session_start_time",
+        F.coalesce(
+            F.try_to_timestamp(sst, F.lit("yyyy-MM-dd HH:mm:ss.SSS zzz")),
+            F.try_to_timestamp(sst, F.lit("yyyy-MM-dd HH:mm:ss zzz")),
+        ),
+    )
+    # tempcsv.message grok: duration / query-step variants
+    msg = F.col("tempcsv_message")
+    dur = F.regexp_extract(msg, r"^duration: (\d+(?:\.\d+)?) ms", 1)
+    out = out.withColumn(
+        "temp_duration", F.when(dur != "", dur).try_cast("double")
+    )
+    step_only = F.regexp_extract(
+        msg, rf"^duration: \d+(?:\.\d+)? ms  ({_PG_QUERY_STEP}) "
+             rf"(\S+): ((?s:.*))$", 1)
+    step_named = F.regexp_extract(
+        msg, rf"^duration: \d+(?:\.\d+)? ms  ({_PG_QUERY_STEP}) "
+             rf"(\S+): ((?s:.*))$", 3)
+    name_msg = F.regexp_extract(
+        msg, rf"^duration: \d+(?:\.\d+)? ms  ({_PG_QUERY_STEP}) "
+             rf"(\S+): ((?s:.*))$", 4)
+    step_plain = F.regexp_extract(
+        msg, rf"^duration: \d+(?:\.\d+)? ms  ({_PG_QUERY_STEP}): ((?s:.*))$", 1)
+    plain_msg = F.regexp_extract(
+        msg, rf"^duration: \d+(?:\.\d+)? ms  ({_PG_QUERY_STEP}): ((?s:.*))$", 3)
+    bare_step = F.regexp_extract(msg, rf"^({_PG_QUERY_STEP}): ((?s:.*))$", 1)
+    bare_msg = F.regexp_extract(msg, rf"^({_PG_QUERY_STEP}): ((?s:.*))$", 3)
+    out = out.withColumn(
+        "postgresql_log_query_step",
+        F.when(step_plain != "", step_plain)
+        .when(step_only != "", step_only)
+        .when(bare_step != "", bare_step),
+    )
+    out = out.withColumn(
+        "postgresql_log_query_name", F.when(step_named != "", step_named)
+    )
+    out = out.withColumn(
+        "message_out",
+        F.when(dur != "", F.when(plain_msg != "", plain_msg)
+               .when(name_msg != "", name_msg))
+        .otherwise(F.when(bare_msg != "", bare_msg).otherwise(msg)),
+    )
+    ts = e["postgresql_log_timestamp"]
+    out = out.withColumn("postgresql_log_timestamp", ts)
+    out = out.withColumn("event_timezone", e["event_timezone"])
+    out = out.withColumn(
+        "timestamp",
+        F.coalesce(
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd HH:mm:ss.SSS zzz")),
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd HH:mm:ss zzz")),
+        ),
+    )
+    out = out.withColumn(
+        "event_duration",
+        F.round(F.col("temp_duration") * 1e6).try_cast("long"),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("database")))
+    # sql_state_code classes 00/01/02 are success/warning/no-data → info;
+    # anything else is an error condition (pipeline.yml:46-55)
+    code = F.col("postgresql_log_sql_state_code")
+    out = out.withColumn(
+        "event_type",
+        F.when(code.isNull() | code.rlike(r"^0[012]"), F.array(F.lit("info")))
+        .otherwise(F.array(F.lit("error"))),
+    )
+    out = out.withColumn(
+        "related_user",
+        F.when(F.col("user_name").isNotNull(), F.array(F.col("user_name"))),
+    )
+    return out
+
+
+MODULES["postgresql.csv"] = postgresql_csv
+
+
+# -- mongodb.log (mongodb/log/ingest/pipeline{,-plaintext,-json}.yml) --------
+
+MONGODB_LOG_PATTERNS = [
+    r"%{TIMESTAMP_ISO8601:mongodb.log.timestamp}%{SPACE}"
+    r"%{MONGO3_SEVERITY:log.level}%{SPACE}"
+    r"%{MONGO3_COMPONENT:mongodb.log.component}%{SPACE}"
+    r"(?:\[%{DATA:mongodb.log.context}\])?%{SPACE}%{GREEDYDATA:message}",
+]
+
+_MONGODB_JSON_SCHEMA = (
+    "t struct<`$date`:string>, s string, c string, id bigint, "
+    "ctx string, msg string"
+)
+
+
+def mongodb_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """mongodb/log/ingest/pipeline.yml: branch on first char — plaintext
+    3.x grok vs 4.4 structured JSON (from_json, no UDF) — then the shared
+    component/severity → event.type classification."""
+    is_json = F.col(field).startswith("{")
+    out = P.grok(df, MONGODB_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 flag_failures=False)
+    # the plaintext pipeline never runs on JSON lines (first-char branch);
+    # the unanchored grok would otherwise match inside the JSON text
+    out = out.withColumn(
+        "parsed", F.when(~is_json, F.col("parsed"))
+    )
+    p = F.col("parsed")
+    out = out.withColumn("js", F.from_json(F.col(field), _MONGODB_JSON_SCHEMA))
+    j = F.col("js")
+    lvl = F.when(is_json, j["s"]).otherwise(p["log_level"])
+    comp = F.when(is_json, j["c"]).otherwise(p["mongodb_log_component"])
+    out = out.withColumn("log_level", lvl)
+    out = out.withColumn("mongodb_log_component", comp)
+    out = out.withColumn(
+        "mongodb_log_context",
+        F.when(is_json, j["ctx"]).otherwise(p["mongodb_log_context"]),
+    )
+    out = out.withColumn("mongodb_log_id", F.when(is_json, j["id"]))
+    out = out.withColumn("event_original", F.when(is_json, F.col(field)))
+    out = out.withColumn(
+        "message_out", F.when(is_json, j["msg"]).otherwise(p["message"])
+    )
+    jd = F.expr("js.t.`$date`")
+    out = out.withColumn(
+        "timestamp",
+        F.when(
+            is_json,
+            F.try_to_timestamp(jd, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        ).otherwise(
+            F.coalesce(
+                F.try_to_timestamp(p["mongodb_log_timestamp"],
+                                   F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXX")),
+                F.try_to_timestamp(p["mongodb_log_timestamp"],
+                                   F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            )
+        ),
+    )
+    base_type = (
+        F.when(comp == "ACCESS", F.array(F.lit("access")))
+        .when(comp == "WRITE", F.array(F.lit("change")))
+        .otherwise(F.array(F.lit("info")))
+    )
+    out = out.withColumn(
+        "event_type",
+        F.when(lvl.isin("F", "E"), F.concat(base_type, F.array(F.lit("error"))))
+        .otherwise(base_type),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("database")))
+    return out.drop("js")
+
+
+MODULES["mongodb.log"] = mongodb_log
+
+
+# -- logstash.log (logstash/log/ingest/pipeline{,-plaintext,-json}.yml) ------
+
+LOGSTASH_LOG_PATTERNS = [
+    r"\[%{TIMESTAMP_ISO8601:logstash.log.timestamp}\]\[%{LOGSTASH_LOGLEVEL:log.level}\s?\]"
+    r"\[%{LOGSTASH_CLASS_MODULE:logstash.log.module}\s*\]\[%{NOTSPACE:logstash.log.pipeline_id}\]"
+    r"\[%{NOTSPACE:logstash.log.plugin_id}\] %{GREEDYMULTILINE:message}",
+    r"\[%{TIMESTAMP_ISO8601:logstash.log.timestamp}\]\[%{LOGSTASH_LOGLEVEL:log.level}\s?\]"
+    r"\[%{LOGSTASH_CLASS_MODULE:logstash.log.module}\s*\]\[%{NOTSPACE:logstash.log.pipeline_id}\]"
+    r" %{GREEDYMULTILINE:message}",
+    r"\[%{TIMESTAMP_ISO8601:logstash.log.timestamp}\]\[%{LOGSTASH_LOGLEVEL:log.level}\s?\]"
+    r"\[%{LOGSTASH_CLASS_MODULE:logstash.log.module}\s*\] %{GREEDYMULTILINE:message}",
+]
+
+LOGSTASH_LOG_DEFINITIONS = {
+    "LOGSTASH_CLASS_MODULE": r"[\w\.]+",
+    "LOGSTASH_LOGLEVEL": r"INFO|ERROR|DEBUG|FATAL|WARN|TRACE",
+    "GREEDYMULTILINE": "(.|\n)*",
+}
+
+_LOGSTASH_JSON_SCHEMA = (
+    "level string, loggerName string, timeMillis bigint, thread string, "
+    "logEvent struct<message:string, count:bigint, pipeline_id:string, "
+    "port:bigint, status:bigint, thread:string, action:array<string>>"
+)
+
+
+def logstash_log(df: DataFrame, field: str = "message",
+                 timezone: str | None = None) -> DataFrame:
+    """logstash/log/ingest/pipeline.yml: first-char branch — plain-format
+    grok bank vs log4j2 JSON (from_json; logEvent's deep dynamic keys
+    beyond the declared scalars are out of scope)."""
+    is_json = F.col(field).startswith("{")
+    out = P.grok(df, LOGSTASH_LOG_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=LOGSTASH_LOG_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    p = F.col("parsed")
+    out = out.withColumn("js", F.from_json(F.col(field), _LOGSTASH_JSON_SCHEMA))
+    j = F.col("js")
+    lvl = F.when(is_json, j["level"]).otherwise(p["log_level"])
+    out = out.withColumn("log_level", lvl)
+    out = out.withColumn(
+        "logstash_log_module",
+        F.when(is_json, j["loggerName"]).otherwise(p["logstash_log_module"]),
+    )
+    out = out.withColumn("logstash_log_thread", F.when(is_json, j["thread"]))
+    out = out.withColumn("logstash_log_log_event", F.when(is_json, j["logEvent"]))
+    out = out.withColumn(
+        "message_out",
+        F.when(is_json, j["logEvent"]["message"]).otherwise(p["message"]),
+    )
+    plain_ts = F.try_to_timestamp(
+        p["logstash_log_timestamp"], F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS")
+    )
+    if timezone:
+        plain_ts = F.to_utc_timestamp(plain_ts, timezone)
+    out = out.withColumn(
+        "timestamp",
+        F.when(is_json, F.timestamp_millis(j["timeMillis"])).otherwise(plain_ts),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(lvl.isin("ERROR", "FATAL"), "error").otherwise("info"),
+    )
+    return out.drop("js")
+
+
+MODULES["logstash.log"] = logstash_log

@@ -418,3 +418,85 @@ def test_haproxy_log_golden(spark, log):
     tz = golden[0].get("event.timezone") if golden else None
     rows = _run(spark, haproxy_log, lines, timezone=tz)
     _check(rows, golden, HAPROXY_FIELDS, ts_field=None)
+
+
+PG_CSV_FIELDS_CHECK = [
+    "log.level", "process.pid", "user.name", "postgresql.log.database",
+    "postgresql.log.session_id", "postgresql.log.sql_state_code",
+    "postgresql.log.timestamp", "postgresql.log.transaction_id",
+    "postgresql.log.virtual_transaction_id", "postgresql.log.command_tag",
+    "postgresql.log.client_addr", "postgresql.log.client_port",
+    "postgresql.log.application_name", "postgresql.log.query_step",
+    "postgresql.log.detail", "event.duration", "event.timezone",
+    "related.user", "event.category", "event.type",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "postgresql-11-connection-disconnection.csv.log",
+    "postgresql-11-autovacuum.csv.log",
+    "postgresql-11-duration.csv.log",
+])
+def test_postgresql_csv_golden(spark, log):
+    from beats_spark.modules import postgresql_csv
+
+    lines, golden = _load_golden("postgresql", "log", log)
+    joined = _join_negate(lines, r"^\d{4}-\d{2}-\d{2} ")
+    rows = _run(spark, postgresql_csv, joined)
+    _check(rows, golden, PG_CSV_FIELDS_CHECK)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+        if "postgresql.log.session_start_time" in exp and row[
+            "postgresql_log_session_start_time"
+        ] is not None:
+            want = _instant(exp["postgresql.log.session_start_time"])
+            got = row["postgresql_log_session_start_time"].replace(
+                tzinfo=datetime.timezone.utc
+            ).timestamp()
+            assert abs(got - want) < 0.5
+
+
+MONGODB_FIELDS = [
+    "log.level", "mongodb.log.component", "mongodb.log.context",
+    "mongodb.log.id", "event.type", "event.category", "event.original",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "mongodb-debian-3.2.11.log", "mongodb-ubuntu-4.4.4-json.log",
+])
+def test_mongodb_log_golden(spark, log):
+    from beats_spark.modules import mongodb_log
+
+    lines, golden = _load_golden("mongodb", "log", log)
+    rows = _run(spark, mongodb_log, lines)
+    _check(rows, golden, MONGODB_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+
+
+LOGSTASH_FIELDS = ["log.level", "logstash.log.module", "logstash.log.thread",
+                   "event.type"]
+
+
+@pytest.mark.parametrize("log", [
+    "logstash-plain.log", "logstash-plain-7.4.log", "logstash-json.log",
+])
+def test_logstash_log_golden(spark, log):
+    from beats_spark.modules import logstash_log
+
+    lines, golden = _load_golden("logstash", "log", log)
+    # plain config: multiline pattern '^\[' negate; json fileset is ndjson
+    joined = lines if "json" in log else _join_negate(lines, r"^\[")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, logstash_log, joined, timezone=tz)
+    _check(rows, golden, LOGSTASH_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+        ev = row.get("logstash_log_log_event") or {}
+        for k in ("count", "pipeline_id", "port", "status"):
+            if f"logstash.log.log_event.{k}" in exp:
+                assert ev.get(k) == exp[f"logstash.log.log_event.{k}"], k
