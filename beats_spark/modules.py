@@ -1332,3 +1332,209 @@ def logstash_log(df: DataFrame, field: str = "message",
 
 
 MODULES["logstash.log"] = logstash_log
+
+
+# -- nats.log (nats/log/ingest/pipeline.yml) ---------------------------------
+
+NATS_LOG_PATTERNS = [
+    r"\[%{POSINT:process.pid}\]( %{NATSTIME:nats.log.timestamp})? "
+    r"\[%{NATSLOGLEVEL:log.level}\] %{GREEDYDATA:nats.log.info}",
+]
+
+NATS_LOG_DEFINITIONS = {
+    "NATSTIME": r"%{YEAR}/%{MONTHNUM}/%{MONTHDAY} %{TIME}",
+    "NATSLOGLEVEL": r"(INF|DBG|WRN|ERR|FTL|TRC)",
+}
+
+NATS_INFO_PATTERNS = [
+    r"%{IPV4:client.ip}:%{POSINT:client.port} - cid:%{POSINT:nats.log.client.id}"
+    r" - %{GREEDYDATA:nats.log.msg.info}",
+    r"%{GREEDYDATA:nats.log.msg.data}",
+]
+
+# the -ERROR pattern carries a fixed closing bracket: the reference YAML has
+# a literal typo (`nats.log.msg.error\]` — unterminated semantic) that can
+# never compile; everything else is verbatim
+NATS_MSG_PATTERNS = [
+    r"%{NATSDIRECTION:network.direction} %{NATSPAYLOAD:nats.log.msg.type}: \[%{GREEDYDATA:nats.log.msg.payload}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSNOINFO:nats.log.msg.type}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSUNSUB:nats.log.msg.type}\s+%{POSINT:nats.log.msg.sid}(\s+%{POSINT:nats.log.msg.max_messages})?\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSPUB:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}(\s+%{NOTSPACE:nats.log.msg.reply_to})?\s+%{POSINT:nats.log.msg.bytes}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSSUB:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}(\s+%{NOTSPACE:nats.log.msg.queue_group})?\s+%{POSINT:nats.log.msg.sid}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSMSG:nats.log.msg.type}\s+%{NOTSPACE:nats.log.msg.subject}\s+%{POSINT:nats.log.msg.sid}(\s+%{NOTSPACE:nats.log.msg.reply_to})?\s+%{POSINT:nats.log.msg.bytes}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSCONNECTION:nats.log.msg.type}\s+%{GREEDYDATA:nats.log.msg.data}\]",
+    r"%{NATSDIRECTION:network.direction} \[%{NATSERROR:nats.log.msg.type}\s+%{GREEDYDATA:nats.log.msg.error}\]",
+    r"%{GREEDYDATA:nats.log.msg.data}",
+]
+
+NATS_MSG_DEFINITIONS = {
+    "NATSDIRECTION": r"(<<-|->>)",
+    "NATSMSG": r"MSG", "NATSPUB": r"PUB", "NATSSUB": r"SUB",
+    "NATSUNSUB": r"UNSUB", "NATSPAYLOAD": r"MSG_PAYLOAD",
+    "NATSERROR": r"-ERROR", "NATSPING": r"PING", "NATSPONG": r"PONG",
+    "NATSOK": r"OK", "NATSCONNECT": r"CONNECT", "NATSINFO": r"INFO",
+    "NATSCONNECTION": r"(?:%{NATSCONNECT}|%{NATSINFO})",
+    "NATSNOINFO": r"(?:%{NATSPING}|%{NATSPONG}|%{NATSOK})",
+}
+
+_NATS_LEVELS = {"INF": "info", "DBG": "debug", "WRN": "warning",
+                "ERR": "error", "FTL": "fatal", "TRC": "trace"}
+
+_NATS_TYPES = {"MSG": "message", "PUB": "publish", "SUB": "subscribe",
+               "UNSUB": "unsubscribe", "MSG_PAYLOAD": "payload",
+               "-ERROR": "error", "PING": "ping", "PONG": "pong",
+               "OK": "acknowledge", "CONNECT": "connection",
+               "INFO": "information"}
+
+
+def _map_chain(col, mapping):
+    out = None
+    for k, v in mapping.items():
+        out = (F.when(col == k, v) if out is None
+               else out.when(col == k, v))
+    return out.otherwise(col)
+
+
+def nats_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """nats/log/ingest/pipeline.yml: three chained groks (frame, client
+    split, protocol-message split), the level/type/direction maps as
+    when-chains, micros timestamp, info+error event.type appends."""
+    out = P.grok(df, NATS_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=NATS_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn(
+        "parsed",
+        F.col("parsed").withField("log_level",
+                                  _map_chain(p["log_level"], _NATS_LEVELS)),
+    )
+    out = out.withColumn("_info", F.col("parsed")["nats_log_info"])
+    out = P.grok(out, NATS_INFO_PATTERNS, field="_info",
+                 target_prefix="p2", flag_failures=False)
+    p2 = F.col("p2")
+    out = out.withColumn("_msg_info", p2["nats_log_msg_info"])
+    out = P.grok(out, NATS_MSG_PATTERNS, field="_msg_info",
+                 target_prefix="p3", flag_failures=False,
+                 pattern_definitions=NATS_MSG_DEFINITIONS)
+    p3 = F.col("p3")
+    out = out.withColumn("client_ip", p2["client_ip"])
+    out = out.withColumn("client_port", p2["client_port"])
+    out = out.withColumn("nats_log_client_id", p2["nats_log_client_id"])
+    out = out.withColumn(
+        "nats_log_msg_type", _map_chain(p3["nats_log_msg_type"], _NATS_TYPES)
+    )
+    for leaf in ("sid", "max_messages", "subject", "reply_to", "bytes",
+                 "queue_group", "error"):
+        out = out.withColumn(f"nats_log_msg_{leaf}", p3[f"nats_log_msg_{leaf}"])
+    out = out.withColumn(
+        "network_direction",
+        F.when(p3["network_direction"] == "<<-", "inbound")
+        .when(p3["network_direction"] == "->>", "outbound"),
+    )
+    out = out.withColumn(
+        "message_out",
+        F.coalesce(p3["nats_log_msg_data"], p2["nats_log_msg_data"]),
+    )
+    out = out.withColumn(
+        "timestamp",
+        F.try_to_timestamp(p["nats_log_timestamp"],
+                           F.lit("yyyy/MM/dd HH:mm:ss.SSSSSS")),
+    )
+    lvl = F.col("parsed")["log_level"]
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(lvl.isin("error", "fatal"),
+               F.array(F.lit("info"), F.lit("error")))
+        .otherwise(F.array(F.lit("info"))),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.when(p2["client_ip"].isNotNull(), F.array(p2["client_ip"])),
+    )
+    return out.drop("_info", "_msg_info")
+
+
+MODULES["nats.log"] = nats_log
+
+
+# -- santa.log (santa/log/ingest/pipeline.yml) -------------------------------
+
+SANTA_LOG_PATTERNS = [
+    r"\[%{TIMESTAMP_ISO8601:process.start}\] %{NOT_SEPARATOR:log.level} santad: "
+    r"action=%{NOT_SEPARATOR:santa.action}\|decision=%{NOT_SEPARATOR:santa.decision}"
+    r"\|reason=%{NOT_SEPARATOR:santa.reason}\|sha256=%{NOT_SEPARATOR:process.hash.sha256}"
+    r"\|path=%{NOT_SEPARATOR:process.executable}(\|args=%{NOT_SEPARATOR:santa.args})?"
+    r"(\|cert_sha256=%{NOT_SEPARATOR:santa.certificate.sha256})?"
+    r"(\|cert_cn=%{NOT_SEPARATOR:santa.certificate.common_name})?"
+    r"\|pid=%{NUMBER:process.pid:long}\|ppid=%{NUMBER:process.parent.pid:long}"
+    r"\|uid=%{NUMBER:user.id}\|user=%{NOT_SEPARATOR:user.name}"
+    r"\|gid=%{NUMBER:group.id}\|group=%{NOT_SEPARATOR:group.name}"
+    r"\|mode=%{WORD:santa.mode}",
+    r"\[%{TIMESTAMP_ISO8601:timestamp}\] %{NOT_SEPARATOR:log.level} santad: "
+    r"action=%{NOT_SEPARATOR:santa.action}\|mount=%{NOT_SEPARATOR:santa.disk.mount}"
+    r"\|volume=%{NOT_SEPARATOR:santa.disk.volume}\|bsdname=%{NOT_SEPARATOR:santa.disk.bsdname}"
+    r"\|fs=%{NOT_SEPARATOR:santa.disk.fs}\|model=%{NOT_SEPARATOR:santa.disk.model}"
+    r"\|serial=%{NOT_SEPARATOR:santa.disk.serial}\|bus=%{NOT_SEPARATOR:santa.disk.bus}"
+    r"\|dmgpath=%{NOT_SEPARATOR:santa.disk.dmgpath}?",
+]
+
+SANTA_LOG_DEFINITIONS = {"NOT_SEPARATOR": r"[^\|]+"}
+
+
+def santa_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """santa/log/ingest/pipeline.yml: EXEC/diskappear grok pair, args split
+    prepended with the executable, ALLOW/DENY outcome, lowercase action,
+    related.user/hash appends."""
+    out = P.grok(df, SANTA_LOG_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=SANTA_LOG_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    ts = F.coalesce(p["process_start"], p["timestamp"])
+    parsed_ts = F.coalesce(
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    out = out.withColumn("timestamp", parsed_ts)
+    out = out.withColumn(
+        "process_start", F.when(p["process_start"].isNotNull(), parsed_ts)
+    )
+    args = F.split(p["santa_args"], " ")
+    out = out.withColumn(
+        "process_args",
+        F.when(
+            p["process_executable"].isNotNull(),
+            F.when(p["santa_args"].isNotNull(),
+                   F.concat(F.array(p["process_executable"]), args))
+            .otherwise(F.array(p["process_executable"])),
+        ),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    is_exec = p["santa_action"] == "EXEC"
+    out = out.withColumn(
+        "event_category", F.when(is_exec, F.array(F.lit("process")))
+    )
+    out = out.withColumn("event_type", F.when(is_exec, F.array(F.lit("start"))))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(p["santa_decision"] == "ALLOW", "success")
+        .when(p["santa_decision"] == "DENY", "failure"),
+    )
+    out = out.withColumn("event_action", F.lower(p["santa_action"]))
+    out = out.withColumn(
+        "related_user",
+        F.when(p["user_name"].isNotNull(), F.array(p["user_name"])),
+    )
+    rel_hash = F.filter(
+        F.array(p["santa_certificate_sha256"], p["process_hash_sha256"]),
+        lambda x: x.isNotNull(),
+    )
+    out = out.withColumn(
+        "related_hash", F.when(F.size(rel_hash) > 0, rel_hash)
+    )
+    out = out.withColumn(
+        "file_x509_issuer_common_name", p["santa_certificate_common_name"]
+    )
+    return out
+
+
+MODULES["santa.log"] = santa_log

@@ -500,3 +500,43 @@ def test_logstash_log_golden(spark, log):
         for k in ("count", "pipeline_id", "port", "status"):
             if f"logstash.log.log_event.{k}" in exp:
                 assert ev.get(k) == exp[f"logstash.log.log_event.{k}"], k
+
+
+NATS_FIELDS = [
+    "log.level", "process.pid", "client.ip", "client.port",
+    "nats.log.client.id", "nats.log.msg.type", "nats.log.msg.sid",
+    "nats.log.msg.subject", "nats.log.msg.reply_to", "nats.log.msg.bytes",
+    "network.direction", "event.type", "related.ip",
+]
+
+
+def test_nats_log_golden(spark):
+    from beats_spark.modules import nats_log
+
+    lines, golden = _load_golden("nats", "log", "test.log")
+    rows = _run(spark, nats_log, lines)
+    _check(rows, golden, NATS_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+
+
+SANTA_FIELDS = [
+    "log.level", "santa.action", "santa.decision", "santa.reason",
+    "santa.mode", "santa.certificate.sha256",
+    "santa.certificate.common_name", "santa.disk.mount", "santa.disk.volume",
+    "santa.disk.bsdname", "santa.disk.fs", "santa.disk.model",
+    "santa.disk.serial", "santa.disk.bus", "process.hash.sha256",
+    "process.executable", "process.pid", "process.parent.pid", "user.id",
+    "user.name", "group.id", "group.name", "process.args", "event.action",
+    "event.outcome", "event.category", "event.type", "event.original",
+    "related.user", "related.hash", "file.x509.issuer.common_name",
+]
+
+
+def test_santa_log_golden(spark):
+    from beats_spark.modules import santa_log
+
+    lines, golden = _load_golden("santa", "log", "santa.log")
+    rows = _run(spark, santa_log, lines)
+    _check(rows, golden, SANTA_FIELDS)
