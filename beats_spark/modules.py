@@ -1538,3 +1538,67 @@ def santa_log(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["santa.log"] = santa_log
+
+
+# -- mysql.slowlog (mysql/slowlog/ingest/pipeline.json) ----------------------
+
+# the single ~55-optional-group metrics pattern, carried verbatim
+MYSQL_SLOWLOG_PATTERNS = ['^# User@Host: %{USER:user.name}(\\[%{USER:mysql.slowlog.current_user}\\])? @ %{HOSTNAME:source.domain}? \\[%{IP:source.ip}?\\]%{METRICSPACE}(Id:%{SPACE}%{NUMBER:mysql.thread_id:long}%{METRICSPACE})?(Thread_id:%{SPACE}%{NUMBER:mysql.thread_id}%{METRICSPACE})?(Schema:%{SPACE}%{NOTSPACE:mysql.slowlog.schema}?%{METRICSPACE})?(Last_errno: %{NUMBER:mysql.slowlog.last_errno:long}%{METRICSPACE})?(Killed: %{NUMBER:mysql.slowlog.killed:long}%{METRICSPACE})?(QC_hit: %{WORD:mysql.slowlog.query_cache_hit}%{METRICSPACE})?(Query_time: %{NUMBER:temp.duration:float}%{METRICSPACE})?(Lock_time: %{NUMBER:mysql.slowlog.lock_time.sec:float}%{METRICSPACE})?(Rows_sent: %{NUMBER:mysql.slowlog.rows_sent:long}%{METRICSPACE})?(Rows_examined: %{NUMBER:mysql.slowlog.rows_examined:long}%{METRICSPACE})?(Rows_affected: %{NUMBER:mysql.slowlog.rows_affected:long}%{METRICSPACE})?(Thread_id: %{NUMBER:mysql.thread_id}%{METRICSPACE})?(Errno: %{NUMBER:mysql.slowlog.last_errno:long}%{METRICSPACE})?(Killed: %{NUMBER:mysql.slowlog.killed:long}%{METRICSPACE})?(Bytes_received: %{NUMBER:mysql.slowlog.bytes_received:long}%{METRICSPACE})?(Bytes_sent: %{NUMBER:mysql.slowlog.bytes_sent:long}%{METRICSPACE})?(Read_first: %{NUMBER:mysql.slowlog.read_first:long}%{METRICSPACE})?(Read_last: %{NUMBER:mysql.slowlog.read_last:long}%{METRICSPACE})?(Read_key: %{NUMBER:mysql.slowlog.read_key:long}%{METRICSPACE})?(Read_next: %{NUMBER:mysql.slowlog.read_next:long}%{METRICSPACE})?(Read_prev: %{NUMBER:mysql.slowlog.read_prev:long}%{METRICSPACE})?(Read_rnd: %{NUMBER:mysql.slowlog.read_rnd:long}%{METRICSPACE})?(Read_rnd_next: %{NUMBER:mysql.slowlog.read_rnd_next:long}%{METRICSPACE})?(Sort_merge_passes: %{NUMBER:mysql.slowlog.sort_merge_passes:long}%{METRICSPACE})?(Sort_range_count: %{NUMBER:mysql.slowlog.sort_range_count:long}%{METRICSPACE})?(Sort_rows: %{NUMBER:mysql.slowlog.sort_rows:long}%{METRICSPACE})?(Sort_scan_count: %{NUMBER:mysql.slowlog.sort_scan_count:long}%{METRICSPACE})?(Created_tmp_disk_tables: %{NUMBER:mysql.slowlog.tmp_disk_tables:long}%{METRICSPACE})?(Created_tmp_tables: %{NUMBER:mysql.slowlog.tmp_tables:long}%{METRICSPACE})?(Tmp_tables: %{NUMBER:mysql.slowlog.tmp_tables:long}%{METRICSPACE})?(Tmp_disk_tables: %{NUMBER:mysql.slowlog.tmp_disk_tables}%{METRICSPACE})?(Tmp_table_sizes: %{NUMBER:mysql.slowlog.tmp_table_sizes:long}%{METRICSPACE})?(Start: %{TIMESTAMP_ISO8601:event.start}%{METRICSPACE})?(End: %{TIMESTAMP_ISO8601:event.end}%{METRICSPACE})?(InnoDB_trx_id: %{WORD:mysql.slowlog.innodb.trx_id}%{METRICSPACE})?(QC_Hit: %{WORD:mysql.slowlog.query_cache_hit}%{METRICSPACE})?(Full_scan: %{WORD:mysql.slowlog.full_scan}%{METRICSPACE})?(Full_join: %{WORD:mysql.slowlog.full_join}%{METRICSPACE})?(Tmp_table: %{WORD:mysql.slowlog.tmp_table}%{METRICSPACE})?(Tmp_table_on_disk: %{WORD:mysql.slowlog.tmp_table_on_disk}%{METRICSPACE})?(Filesort: %{WORD:mysql.slowlog.filesort}%{METRICSPACE})?(Filesort_on_disk: %{WORD:mysql.slowlog.filesort_on_disk}%{METRICSPACE})?(Merge_passes: %{NUMBER:mysql.slowlog.merge_passes:long}%{METRICSPACE})?(Priority_queue: %{WORD:mysql.slowlog.priority_queue}%{METRICSPACE})?(No InnoDB statistics available for this query%{METRICSPACE})?(InnoDB_IO_r_ops: %{NUMBER:mysql.slowlog.innodb.io_r_ops:long}%{METRICSPACE})?(InnoDB_IO_r_bytes: %{NUMBER:mysql.slowlog.innodb.io_r_bytes:long}%{METRICSPACE})?(InnoDB_IO_r_wait: %{NUMBER:mysql.slowlog.innodb.io_r_wait.sec:float}%{METRICSPACE})?(InnoDB_rec_lock_wait: %{NUMBER:mysql.slowlog.innodb.rec_lock_wait.sec:float}%{METRICSPACE})?(InnoDB_queue_wait: %{NUMBER:mysql.slowlog.innodb.queue_wait.sec:float}%{METRICSPACE})?(InnoDB_pages_distinct: %{NUMBER:mysql.slowlog.innodb.pages_distinct:long}%{METRICSPACE})?(Log_slow_rate_type: %{WORD:mysql.slowlog.log_slow_rate_type}%{METRICSPACE})?(Log_slow_rate_limit: %{NUMBER:mysql.slowlog.log_slow_rate_limit:long}%{METRICSPACE})?%{EXPLAIN}(use %{NOTSPACE:mysql.slowlog.schema};\n)?SET timestamp=%{NUMBER:mysql.slowlog.timestamp:long};\n%{GREEDYMULTILINE:mysql.slowlog.query}']
+
+MYSQL_SLOWLOG_DEFINITIONS = {'GREEDYMULTILINE': '(.|\n)*', 'METRICSPACE': '([ #\n]*)', 'EXPLAIN': '(# explain:.*\n|#\\s*\n)*'}
+
+_SLOWLOG_BOOL_FIELDS = [
+    "query_cache_hit", "tmp_table", "tmp_table_on_disk", "filesort",
+    "filesort_on_disk", "priority_queue", "full_scan", "full_join",
+]
+
+
+def mysql_slowlog(df: DataFrame, field: str = "message") -> DataFrame:
+    """mysql/slowlog/ingest/pipeline.json: one verbatim grok (every
+    server/percona/mariadb metric as an optional group; duplicate
+    semantics coalesce first-match-wins like the reference), Yes/No →
+    boolean, duration µs→ns, UNIX timestamp, related appends."""
+    out = P.grok(df, MYSQL_SLOWLOG_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=MYSQL_SLOWLOG_DEFINITIONS)
+    p = F.col("parsed")
+    for b in _SLOWLOG_BOOL_FIELDS:
+        name = f"mysql_slowlog_{b}"
+        out = out.withColumn(
+            "parsed",
+            F.when(
+                F.col("parsed").isNotNull(),
+                F.col("parsed").withField(
+                    name,
+                    F.when(p[name] == "Yes", "true")
+                    .when(p[name] == "No", "false")
+                    .otherwise(p[name]),
+                ),
+            ),
+        )
+    # painless Float * Integer stays FLOAT: Math.round(duration * 1000000)
+    # rounds the float product (e.g. 153.883484f*1e6 = 1.53883488E8, not
+    # the double product ...483.88) — keep the multiply in float32
+    fprod = p["temp_duration"] * F.lit(1000000).cast("float")
+    out = out.withColumn(
+        "event_duration",
+        (F.round(fprod.cast("double")) * 1000).try_cast("long"),
+    )
+    out = out.withColumn(
+        "timestamp", F.timestamp_seconds(p["mysql_slowlog_timestamp"])
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("database")))
+    out = out.withColumn("event_type", F.array(F.lit("info")))
+    out = out.withColumn(
+        "related_user",
+        F.when(p["user_name"].isNotNull(), F.array(p["user_name"])),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.when(p["source_ip"].isNotNull(), F.array(p["source_ip"])),
+    )
+    return out
+
+
+MODULES["mysql.slowlog"] = mysql_slowlog
