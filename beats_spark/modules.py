@@ -1602,3 +1602,106 @@ def mysql_slowlog(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["mysql.slowlog"] = mysql_slowlog
+
+
+# -- elasticsearch.server (elasticsearch/server/ingest/pipeline*.yml) --------
+
+ES_SERVER_PT_DEFINITIONS = {
+    "GREEDYMULTILINE": "(.|\n)*",
+    "INDEXNAME": r"[a-zA-Z0-9_.-]*",
+    "GC_ALL":
+        r"\[gc\]\[%{NUMBER:elasticsearch.server.gc.overhead_seq}\] overhead, spent"
+        r" \[%{NUMBER:elasticsearch.server.gc.collection_duration.time:float}%{DATA:elasticsearch.server.gc.collection_duration.unit}\]"
+        r" collecting in the last \[%{NUMBER:elasticsearch.server.gc.observation_duration.time:float}%{DATA:elasticsearch.server.gc.observation_duration.unit}\]",
+    "GC_YOUNG":
+        r"\[gc\]\[young\]\[%{NUMBER:elasticsearch.server.gc.young.one}\]"
+        r"\[%{NUMBER:elasticsearch.server.gc.young.two}\]%{SPACE}%{GREEDYMULTILINE:message}",
+    "LOG_HEADER":
+        r"\[%{TIMESTAMP_ISO8601:elasticsearch.server.timestamp}\]\[%{LOGLEVEL:log.level}%{SPACE}\]"
+        r"\[%{DATA:elasticsearch.component}%{SPACE}\](%{SPACE})?(\[%{DATA:elasticsearch.node.name}\])?(%{SPACE})?",
+}
+
+ES_SERVER_PT_PATTERNS = [
+    r"%{LOG_HEADER}%{GC_ALL}",
+    r"%{LOG_HEADER}%{GC_YOUNG}",
+    r"%{LOG_HEADER}%{SPACE}((\[%{INDEXNAME:elasticsearch.index.name}\]"
+    r"|\[%{INDEXNAME:elasticsearch.index.name}\/%{DATA:elasticsearch.index.id}\]))?"
+    r"%{SPACE}%{GREEDYMULTILINE:message}",
+]
+
+_ES8_JSON_SCHEMA = (
+    "`@timestamp` string, `log.level` string, message string, "
+    "`ecs.version` string, `service.name` string, `event.dataset` string, "
+    "`process.thread.name` string, `log.logger` string, "
+    "`elasticsearch.cluster.uuid` string, `elasticsearch.node.id` string, "
+    "`elasticsearch.node.name` string, `elasticsearch.cluster.name` string"
+)
+
+
+def elasticsearch_server(df: DataFrame, field: str = "message",
+                         timezone: str | None = None) -> DataFrame:
+    """elasticsearch/server: first-char branch — 6.x plaintext grok
+    (LOG_HEADER + gc variants + index-name split) vs 8.0 ECS-JSON
+    (from_json over the flat dotted keys; rows whose event.dataset is not
+    elasticsearch.server are dropped, exactly like the reference's drop
+    processor); FATAL/ERROR → event.type=error, node name/id → host."""
+    is_json = F.col(field).startswith("{")
+    out = P.grok(df, ES_SERVER_PT_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=ES_SERVER_PT_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    p = F.col("parsed")
+    out = out.withColumn("js", F.from_json(F.col(field), _ES8_JSON_SCHEMA))
+    j = F.col("js")
+    out = out.filter(
+        ~is_json | (j["event.dataset"] == "elasticsearch.server")
+    )
+    lvl = F.when(is_json, j["log.level"]).otherwise(p["log_level"])
+    out = out.withColumn("log_level", lvl)
+    out = out.withColumn(
+        "elasticsearch_node_name",
+        F.when(is_json, j["elasticsearch.node.name"])
+        .otherwise(p["elasticsearch_node_name"]),
+    )
+    out = out.withColumn("elasticsearch_component", p["elasticsearch_component"])
+    out = out.withColumn("elasticsearch_index_name", p["elasticsearch_index_name"])
+    out = out.withColumn("elasticsearch_index_id", p["elasticsearch_index_id"])
+    for leaf in ("cluster.name", "cluster.uuid", "node.id"):
+        out = out.withColumn(
+            "elasticsearch_" + leaf.replace(".", "_"),
+            F.when(is_json, j[f"elasticsearch.{leaf}"]),
+        )
+    out = out.withColumn("log_logger", F.when(is_json, j["log.logger"]))
+    out = out.withColumn("process_thread_name",
+                         F.when(is_json, j["process.thread.name"]))
+    out = out.withColumn("service_name", F.when(is_json, j["service.name"]))
+    out = out.withColumn("event_dataset", F.lit("elasticsearch.server"))
+    out = out.withColumn(
+        "message_out", F.when(is_json, j["message"]).otherwise(p["message"])
+    )
+    pt_ts = F.try_to_timestamp(
+        p["elasticsearch_server_timestamp"],
+        F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS"),
+    )
+    if timezone:
+        pt_ts = F.to_utc_timestamp(pt_ts, timezone)
+    out = out.withColumn(
+        "timestamp",
+        F.when(
+            is_json,
+            F.try_to_timestamp(j["@timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        ).otherwise(pt_ts),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.lit("database"))
+    out = out.withColumn(
+        "event_type",
+        F.when(lvl.isin("FATAL", "ERROR"), "error").otherwise("info"),
+    )
+    out = out.withColumn("host_name", F.col("elasticsearch_node_name"))
+    out = out.withColumn("host_id", F.col("elasticsearch_node_id"))
+    return out.drop("js")
+
+
+MODULES["elasticsearch.server"] = elasticsearch_server

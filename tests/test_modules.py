@@ -597,3 +597,29 @@ def test_mysql_slowlog_golden(spark, log):
             if k in exp:
                 got = parsed.get(f"mysql_slowlog_{b}")
                 assert got == str(exp[k]).lower(), (k, exp[k], got)
+
+
+ES_SERVER_FIELDS = [
+    "log.level", "elasticsearch.component", "elasticsearch.node.name",
+    "elasticsearch.index.name", "elasticsearch.index.id",
+    "elasticsearch.cluster.name", "elasticsearch.cluster.uuid",
+    "elasticsearch.node.id", "log.logger", "process.thread.name",
+    "service.name", "event.type", "event.category", "host.id",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "elasticsearch.624.log", "elasticsearch-json.800.log",
+    "elasticsearch-json.800.mixed.log",
+])
+def test_elasticsearch_server_golden(spark, log):
+    from beats_spark.modules import elasticsearch_server
+
+    lines, golden = _load_golden("elasticsearch", "server", log)
+    joined = lines if "json" in log else _join_negate(lines, r"^\[")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, elasticsearch_server, joined, timezone=tz)
+    _check(rows, golden, ES_SERVER_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
