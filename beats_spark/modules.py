@@ -1705,3 +1705,80 @@ def elasticsearch_server(df: DataFrame, field: str = "message",
 
 
 MODULES["elasticsearch.server"] = elasticsearch_server
+
+
+# -- elasticsearch.gc (elasticsearch/gc/ingest/pipeline.yml) -----------------
+
+ES_GC_DEFINITIONS = {
+    "GREEDYMULTILINE": "(.|\n)*",
+    "JVM8HEADER":
+        r"%{TIMESTAMP_ISO8601:timestamp}: %{BASE10NUM:elasticsearch.gc.jvm_runtime_sec}:",
+    "JVM9HEADER":
+        r"\[%{TIMESTAMP_ISO8601:timestamp}\]\[%{POSINT:process.pid}\]"
+        r"(\[%{DATA:log.level}%{SPACE}\])?\[%{DATA:elasticsearch.gc.tags}%{SPACE}\]",
+    "PROCTIME":
+        r"\[Times: user=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.user_sec}"
+        r" sys=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.sys_sec},"
+        r" real=%{BASE10NUM:elasticsearch.gc.phase.cpu_time.real_sec} secs\]",
+}
+
+ES_GC_PATTERNS = [
+    r"(?:%{JVM8HEADER}|%{JVM9HEADER}) Total time for which application threads were"
+    r" stopped: %{BASE10NUM:elasticsearch.gc.threads_total_stop_time_sec} seconds,"
+    r" Stopping threads took: %{BASE10NUM:elasticsearch.gc.stopping_threads_time_sec}"
+    r" seconds",
+    r"(?:%{JVM8HEADER}) \[GC \(%{DATA:elasticsearch.gc.phase.name}\) \[YG occupancy:"
+    r" %{BASE10NUM:elasticsearch.gc.young_gen.used_kb} K \(%{BASE10NUM:elasticsearch.gc.young_gen.size_kb}"
+    r" K\)\]%{BASE10NUM}: \[Rescan \(parallel\) , %{BASE10NUM:elasticsearch.gc.phase.parallel_rescan_time_sec}"
+    r" secs\]%{BASE10NUM}: \[weak refs processing, %{BASE10NUM:elasticsearch.gc.phase.weak_refs_processing_time_sec}"
+    r" secs\]%{BASE10NUM}: \[class unloading, %{BASE10NUM:elasticsearch.gc.phase.class_unload_time_sec}"
+    r" secs\]%{BASE10NUM}: \[scrub symbol table, %{BASE10NUM:elasticsearch.gc.phase.scrub_symbol_table_time_sec}"
+    r" secs\]%{BASE10NUM}: \[scrub string table, %{BASE10NUM:elasticsearch.gc.phase.scrub_string_table_time_sec}"
+    r" secs\]\[1 CMS-remark: %{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)\]"
+    r" %{BASE10NUM:elasticsearch.gc.heap.used_kb}K\(%{BASE10NUM:elasticsearch.gc.heap.size_kb}K\),"
+    r" %{BASE10NUM:elasticsearch.gc.phase.duration_sec} secs\] %{PROCTIME}",
+    r"(?:%{JVM8HEADER}) \[GC \(%{DATA:elasticsearch.gc.phase.name}\) \[%{BASE10NUM}"
+    r" CMS-initial-mark: %{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)\]"
+    r" %{BASE10NUM:elasticsearch.gc.heap.used_kb}K\(%{BASE10NUM:elasticsearch.gc.heap.size_kb}K\),"
+    r" %{BASE10NUM:elasticsearch.gc.phase.duration_sec} secs\] %{PROCTIME}",
+    r"%{JVM9HEADER} GC\(%{BASE10NUM}\) ParNew: %{BASE10NUM}K-\>%{BASE10NUM:elasticsearch.gc.young_gen.used_kb}K\(%{BASE10NUM:elasticsearch.gc.young_gen.size_kb}K\)",
+    r"%{JVM9HEADER} GC\(%{BASE10NUM}\) Old: %{BASE10NUM}K-\>%{BASE10NUM:elasticsearch.gc.old_gen.used_kb}K\(%{BASE10NUM:elasticsearch.gc.old_gen.size_kb}K\)",
+    r"(?:%{JVM8HEADER}|%{JVM9HEADER}) %{GREEDYMULTILINE:message}",
+]
+
+
+def elasticsearch_gc(df: DataFrame, field: str = "message") -> DataFrame:
+    """elasticsearch/gc/ingest/pipeline.yml: the JVM8/JVM9 header composite
+    grok bank verbatim, ISO8601 offset timestamp, tags split,
+    event.kind=metric."""
+    out = P.grok(df, ES_GC_PATTERNS, field=field, target_prefix="parsed",
+                 pattern_definitions=ES_GC_DEFINITIONS)
+    p = F.col("parsed")
+    tags = p["elasticsearch_gc_tags"]
+    # split replaces the field in place → rewrite the parsed struct entry
+    out = out.withColumn(
+        "parsed",
+        F.when(
+            F.col("parsed").isNotNull(),
+            F.col("parsed").withField(
+                "elasticsearch_gc_tags",
+                F.when(tags.isNotNull(), F.split(tags, ",")),
+            ),
+        ),
+    )
+    out = out.withColumn(
+        "timestamp",
+        F.coalesce(
+            F.try_to_timestamp(p["timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXX")),
+            F.try_to_timestamp(p["timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        ),
+    )
+    out = out.withColumn("event_kind", F.lit("metric"))
+    out = out.withColumn("event_category", F.lit("database"))
+    out = out.withColumn("event_type", F.lit("info"))
+    return out
+
+
+MODULES["elasticsearch.gc"] = elasticsearch_gc

@@ -623,3 +623,30 @@ def test_elasticsearch_server_golden(spark, log):
     for row, exp in zip(rows, golden):
         if "message" in exp:
             assert row["message_out"] == exp["message"], exp
+
+
+ES_GC_FIELDS = [
+    "log.level", "process.pid", "elasticsearch.gc.tags",
+    "elasticsearch.gc.jvm_runtime_sec", "elasticsearch.gc.phase.name",
+    "elasticsearch.gc.phase.duration_sec",
+    "elasticsearch.gc.phase.cpu_time.user_sec",
+    "elasticsearch.gc.phase.cpu_time.sys_sec",
+    "elasticsearch.gc.phase.cpu_time.real_sec",
+    "elasticsearch.gc.young_gen.used_kb", "elasticsearch.gc.young_gen.size_kb",
+    "elasticsearch.gc.old_gen.used_kb", "elasticsearch.gc.old_gen.size_kb",
+    "elasticsearch.gc.heap.used_kb", "elasticsearch.gc.heap.size_kb",
+    "elasticsearch.gc.threads_total_stop_time_sec",
+    "elasticsearch.gc.stopping_threads_time_sec",
+    "event.kind", "event.category", "event.type", "message",
+]
+
+
+# test-docker.log's golden is a single mid-file event (offset-aligned, not
+# prefix-aligned), which this index-zipped harness can't line up
+@pytest.mark.parametrize("log", ["gc.log", "test.log"])
+def test_elasticsearch_gc_golden(spark, log):
+    from beats_spark.modules import elasticsearch_gc
+
+    lines, golden = _load_golden("elasticsearch", "gc", log)
+    rows = _run(spark, elasticsearch_gc, lines)
+    _check(rows, golden, ES_GC_FIELDS)
