@@ -1782,3 +1782,94 @@ def elasticsearch_gc(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["elasticsearch.gc"] = elasticsearch_gc
+
+
+# -- elasticsearch.deprecation (elasticsearch/deprecation/ingest/*) ----------
+
+ES_DEPRECATION_PT_PATTERNS = [
+    r"\[%{TIMESTAMP_ISO8601:elasticsearch.deprecation.timestamp}\]"
+    r"\[%{DEP_LOGLEVEL:log.level}(%{SPACE})?\]\[%{DATA:elasticsearch.component}(%{SPACE})?\]"
+    r"(%{SPACE}\[%{HOSTNAME:elasticsearch.node.name}\])? %{GREEDYMULTILINE:message}",
+]
+
+ES_DEPRECATION_PT_DEFINITIONS = {
+    "GREEDYMULTILINE": "(.|\n)*",
+    "DEP_LOGLEVEL": r"(%{LOGLEVEL}|DEPRECATION)",
+}
+
+_ES_DEP_JSON_SCHEMA = (
+    "`@timestamp` string, `log.level` string, message string, "
+    "`event.dataset` string, `data_stream.dataset` string, "
+    "`data_stream.namespace` string, `data_stream.type` string, "
+    "`elasticsearch.elastic_product_origin` string, "
+    "`elasticsearch.event.category` string, "
+    "`elasticsearch.http.request.x_opaque_id` string, "
+    "`event.code` string, `service.name` string, `process.thread.name` string, "
+    "`log.logger` string, `trace.id` string, "
+    "`elasticsearch.cluster.uuid` string, `elasticsearch.node.id` string, "
+    "`elasticsearch.node.name` string, `elasticsearch.cluster.name` string"
+)
+
+
+def elasticsearch_deprecation(df: DataFrame, field: str = "message",
+                              timezone: str | None = None) -> DataFrame:
+    """elasticsearch/deprecation: plaintext LOG_HEADER variant (DEPRECATION
+    level) vs 8.0 ECS-JSON; json rows with a foreign event.dataset are
+    dropped; event.dataset normalized to elasticsearch.deprecation."""
+    is_json = F.col(field).startswith("{")
+    out = P.grok(df, ES_DEPRECATION_PT_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=ES_DEPRECATION_PT_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    p = F.col("parsed")
+    out = out.withColumn("js", F.from_json(F.col(field), _ES_DEP_JSON_SCHEMA))
+    j = F.col("js")
+    out = out.filter(
+        ~is_json
+        | j["event.dataset"].isin("deprecation", "deprecation.elasticsearch")
+    )
+    lvl = F.when(is_json, j["log.level"]).otherwise(p["log_level"])
+    out = out.withColumn("log_level", lvl)
+    out = out.withColumn("elasticsearch_component", p["elasticsearch_component"])
+    out = out.withColumn(
+        "elasticsearch_node_name",
+        F.when(is_json, j["elasticsearch.node.name"])
+        .otherwise(p["elasticsearch_node_name"]),
+    )
+    for flat in ("data_stream.dataset", "data_stream.namespace",
+                 "data_stream.type", "elasticsearch.elastic_product_origin",
+                 "elasticsearch.event.category",
+                 "elasticsearch.http.request.x_opaque_id", "event.code",
+                 "service.name", "process.thread.name", "log.logger",
+                 "trace.id", "elasticsearch.cluster.uuid",
+                 "elasticsearch.node.id", "elasticsearch.cluster.name"):
+        out = out.withColumn(
+            flat.replace(".", "_"), F.when(is_json, j[flat])
+        )
+    out = out.withColumn("event_dataset", F.lit("elasticsearch.deprecation"))
+    out = out.withColumn(
+        "message_out", F.when(is_json, j["message"]).otherwise(p["message"])
+    )
+    pt_ts = F.try_to_timestamp(
+        p["elasticsearch_deprecation_timestamp"],
+        F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS"),
+    )
+    if timezone:
+        pt_ts = F.to_utc_timestamp(pt_ts, timezone)
+    out = out.withColumn(
+        "timestamp",
+        F.when(
+            is_json,
+            F.try_to_timestamp(j["@timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        ).otherwise(pt_ts),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.lit("database"))
+    out = out.withColumn("event_type", F.lit("info"))
+    out = out.withColumn("host_id", F.col("elasticsearch_node_id"))
+    out = out.withColumn("host_name", F.col("elasticsearch_node_name"))
+    return out.drop("js")
+
+
+MODULES["elasticsearch.deprecation"] = elasticsearch_deprecation

@@ -650,3 +650,32 @@ def test_elasticsearch_gc_golden(spark, log):
     lines, golden = _load_golden("elasticsearch", "gc", log)
     rows = _run(spark, elasticsearch_gc, lines)
     _check(rows, golden, ES_GC_FIELDS)
+
+
+ES_DEP_FIELDS = [
+    "log.level", "elasticsearch.component", "elasticsearch.node.name",
+    "data_stream.dataset", "data_stream.namespace", "data_stream.type",
+    "elasticsearch.elastic_product_origin", "elasticsearch.event.category",
+    "elasticsearch.http.request.x_opaque_id", "event.code", "service.name",
+    "process.thread.name", "log.logger", "trace.id",
+    "elasticsearch.cluster.uuid", "elasticsearch.node.id",
+    "elasticsearch.cluster.name", "event.dataset", "event.type",
+    "event.category", "host.id",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "elasticsearch_deprecation.log", "es_deprecation-json.800.log",
+    "es_deprecation-json.800.mixed.log",
+])
+def test_elasticsearch_deprecation_golden(spark, log):
+    from beats_spark.modules import elasticsearch_deprecation
+
+    lines, golden = _load_golden("elasticsearch", "deprecation", log)
+    joined = lines if "json" in log else _join_negate(lines, r"^\[")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, elasticsearch_deprecation, joined, timezone=tz)
+    _check(rows, golden, ES_DEP_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
