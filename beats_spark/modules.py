@@ -1873,3 +1873,69 @@ def elasticsearch_deprecation(df: DataFrame, field: str = "message",
 
 
 MODULES["elasticsearch.deprecation"] = elasticsearch_deprecation
+
+
+# -- kibana.log (kibana/log/ingest/pipeline-7.yml, the 6.x/7.x json format) --
+
+_KIBANA7_JSON_SCHEMA = (
+    "type string, `@timestamp` string, tags array<string>, pid bigint, "
+    "state string, message string, prevState string, prevMsg string, "
+    "req struct<url:string, method:string, headers:map<string,string>, "
+    "remoteAddress:string, userAgent:string, referer:string>, "
+    "res struct<statusCode:bigint, responseTime:double, contentLength:bigint>"
+)
+
+
+def kibana_log(df: DataFrame, field: str = "message") -> DataFrame:
+    """kibana/log/ingest/pipeline-7.yml: ndjson decode + the rename chain
+    (res.* → http.response.*, req.* → http.request/source/url/user_agent),
+    responseTime ms→ns, red-state → event.type=error, status-class
+    outcome. The 8.x ECS format (pipeline-ecs) is out of scope."""
+    out = df.withColumn("meta", F.from_json(F.col(field), _KIBANA7_JSON_SCHEMA))
+    m = F.col("meta")
+    out = out.withColumn(
+        "timestamp",
+        F.coalesce(
+            F.try_to_timestamp(m["@timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            F.try_to_timestamp(m["@timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        ),
+    )
+    out = out.withColumn("message_out", m["message"])
+    out = out.withColumn("kibana_log_state", m["state"])
+    out = out.withColumn("kibana_log_tags", m["tags"])
+    out = out.withColumn("process_pid", m["pid"])
+    status = m["res"]["statusCode"]
+    out = out.withColumn("http_response_status_code", status)
+    out = out.withColumn(
+        "event_duration",
+        F.round(m["res"]["responseTime"] * 1e6).try_cast("long"),
+    )
+    out = out.withColumn("http_response_body_bytes", m["res"]["contentLength"])
+    out = out.withColumn("http_request_method", m["req"]["method"])
+    out = out.withColumn(
+        "http_request_referrer", F.element_at(m["req"]["headers"], "referer")
+    )
+    out = out.withColumn(
+        "user_agent_original", F.element_at(m["req"]["headers"], "user-agent")
+    )
+    out = out.withColumn("source_address", m["req"]["remoteAddress"])
+    out = out.withColumn("source_ip", m["req"]["remoteAddress"])
+    out = out.withColumn("url_original", m["req"]["url"])
+    out = out.withColumn("service_name", F.array(F.lit("kibana")))
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(m["state"].isNotNull(),
+               F.when(m["state"] == "red", "error").otherwise("info")),
+    )
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    return out
+
+
+MODULES["kibana.log"] = kibana_log

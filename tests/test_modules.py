@@ -679,3 +679,42 @@ def test_elasticsearch_deprecation_golden(spark, log):
     for row, exp in zip(rows, golden):
         if "message" in exp:
             assert row["message_out"] == exp["message"], exp
+
+
+KIBANA_FIELDS = [
+    "process.pid", "kibana.log.state", "kibana.log.tags",
+    "http.response.status_code", "http.response.body.bytes",
+    "http.request.method", "http.request.referrer", "user_agent.original",
+    "source.address", "source.ip", "url.original", "event.duration",
+    "event.outcome", "event.type", "service.name",
+]
+
+_KIBANA_RENAMED_HEADERS = {"referer", "user-agent"}
+
+
+@pytest.mark.parametrize("log", ["log.624.log", "test.log"])
+def test_kibana_log_golden(spark, log):
+    from beats_spark.modules import kibana_log
+
+    lines, golden = _load_golden("kibana", "log", log)
+    rows = _run(spark, kibana_log, lines)
+    _check(rows, golden, KIBANA_FIELDS, ts_field="@timestamp")
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+        meta = row["meta"] or {}
+        req = meta.get("req") or {}
+        headers = req.get("headers") or {}
+        for k, v in exp.items():
+            if k.startswith("kibana.log.meta.req.headers."):
+                h = k.rsplit(".", 1)[1]
+                if h not in _KIBANA_RENAMED_HEADERS:
+                    assert headers.get(h) == v, k
+        if "kibana.log.meta.type" in exp:
+            assert meta.get("type") == exp["kibana.log.meta.type"]
+        if "kibana.log.meta.prevMsg" in exp:
+            assert meta.get("prevMsg") == exp["kibana.log.meta.prevMsg"]
+        if "kibana.log.meta.prevState" in exp:
+            assert meta.get("prevState") == exp["kibana.log.meta.prevState"]
+        if "kibana.log.meta.req.userAgent" in exp:
+            assert req.get("userAgent") == exp["kibana.log.meta.req.userAgent"]
