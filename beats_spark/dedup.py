@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .scale import truncate_lineage
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
@@ -152,6 +154,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.6,
     max_bucket: int = 1000,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -179,8 +182,13 @@ def minhash_lsh_pairs(
         )
         .withColumn("_sh", shingles_expr("_norm", shingle_k))
         .select("_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("_hv"))
-        .localCheckpoint()
     )
+    # lineage cut: `base` feeds the signature agg AND both verify joins —
+    # without it the shingle scan re-runs 3×. eager=False defers the
+    # materializing job to the first action (constructing the pairs frame
+    # must not itself run computation); reliable=True survives executor
+    # loss on a real cluster (see scale.truncate_lineage).
+    base = truncate_lineage(base, reliable=reliable, eager=False)
     hashed = base.select(
         "_id",
         F.explode(
@@ -266,7 +274,7 @@ def minhash_dedup_cc(
     from beats_spark.graph import connected_components
 
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, reliable=kw.get("reliable", False))
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -301,6 +309,15 @@ def prefix_filter_jaccard_pairs(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("_g"),
     )
+    return _prefix_filter_pairs(base, threshold)
+
+
+def _prefix_filter_pairs(base: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin core over a prepared (_id, _g: array<string>) frame:
+    exact Jaccard pairs (id_a < id_b, jaccard ≥ threshold) with
+    inter_size/union_size. See prefix_filter_jaccard_pairs for the
+    algorithm; factored out so n-gram (and any other set representation)
+    reuses the same exact candidate engine."""
     exploded = base.select("_id", F.explode("_g").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
     # order tokens rarest-first with (cnt, g) as the key — no global
@@ -453,15 +470,27 @@ def ngram_jaccard_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     max_bucket: int = 1000,
+    exact: bool = False,
+    reliable: bool = False,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard, MinHash-band candidate generation.
+    """Word-n-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold), exact
+    verify in both modes; `exact` selects the candidate generator:
 
-    A length-bucket range join is quadratic within buckets (measured: 8+
-    minutes at 5k docs); banding the gram-set minhashes keeps candidate
-    generation a plain equi-join on (band, hash) at any scale. With 8 bands
-    of 2 hashes, a true pair at J≥0.5 is missed with probability
-    (1-J²)⁸ ≤ 1.0% — and the survivors are verified with EXACT Jaccard.
-    """
+    - exact=False (default, the scale path): MinHash-band equi-join on
+      (band, bhash). A length-bucket range join is quadratic within buckets
+      (measured: 8+ minutes at 5k docs); banding keeps candidate generation
+      a plain equi-join at any scale. With 8 bands of 2 hashes a true pair
+      at J≥0.5 is missed with probability (1-J²)⁸ ≤ 1.0%.
+    - exact=True: prefix-filter inverted index on each doc's globally
+      rarest grams (AllPairs, Bayardo WWW'07) — provably no missed pairs,
+      so the result is brute-force oracle-able in an independent engine.
+
+    Candidates travel as BARE id pairs in both modes; gram arrays are
+    joined back BY ID only for the exact-Jaccard verify (mirroring
+    minhash_lsh_pairs), so array payloads never ride the band join or the
+    dropDuplicates exchange. Signatures come from the explode + K
+    codegen'd min() aggregate shape (higher-order array lambdas are
+    interpreted per element — the measured-slow path)."""
     grams = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
@@ -473,51 +502,70 @@ def ngram_jaccard_pairs(
         )
         .withColumn("_g", grams)
         .drop("_toks")
-        .withColumn(
-            "_hs",
-            F.transform(
-                F.col("_g"),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)),
-            ),
-        )
-        .localCheckpoint()
-        .withColumn(
-            "_sig", minhash_signature_from_hashes(F.col("_hs"), num_hashes)
-        )
-        .drop("_hs")
     )
+    # gram arrays feed candidate generation AND both verify joins; cut the
+    # lineage so tokenization runs once. eager=False: constructing the
+    # pairs frame triggers no job. reliable=True for cluster durability.
+    base = truncate_lineage(base, reliable=reliable, eager=False)
+    verify_jaccard = F.round(
+        F.col("inter_size") / F.col("union_size"), 6
+    ).alias("jaccard")
+    if exact:
+        return _prefix_filter_pairs(base, threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+    hashed = base.select(
+        "_id",
+        F.explode(
+            F.expr(f"transform(_g, s -> pmod(xxhash64(s), {_MERSENNE_31}))")
+        ).alias("_h"),
+    )
+    m = F.lit(_MERSENNE_31)
+    mins = []
+    for i in range(num_hashes):
+        a_, b_ = _affine_params(i)
+        mins.append(
+            F.min(F.pmod(F.col("_h") * F.lit(a_) + F.lit(b_), m)).alias(f"_m{i}")
+        )
+    sig = hashed.groupBy("_id").agg(*mins)
     rows_per_band = num_hashes // bands
-    banded = base.select(
-        "_id", "_g",
+    banded = sig.select(
+        "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("_sig")[b * rows_per_band + r]
+                    F.xxhash64(*[F.col(f"_m{b * rows_per_band + r}")
                                  for r in range(rows_per_band)]).alias("bhash"),
                 )
                 for b in range(bands)
             ])
         ).alias("_b"),
-    ).select("_id", "_g", "_b.band", "_b.bhash")
+    ).select("_id", "_b.band", "_b.bhash")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("band", "bhash").orderBy("_id")
     banded = banded.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= max_bucket
     )
-    a = banded.select("band", "bhash", F.col("_id").alias("id_a"),
-                      F.col("_g").alias("g_a"))
-    b = banded.select("band", "bhash", F.col("_id").alias("id_b"),
-                      F.col("_g").alias("g_b"))
+    a = banded.select("band", "bhash", F.col("_id").alias("id_a"))
+    b = banded.select("band", "bhash", F.col("_id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "g_a", "g_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     return (
-        cand.withColumn("jaccard", jaccard(F.col("g_a"), F.col("g_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("inter_size", inter)
+        .withColumn(
+            "union_size", F.size("g_a") + F.size("g_b") - F.col("inter_size")
+        )
+        .where(F.col("inter_size") >= F.lit(threshold) * F.col("union_size"))
+        .select("id_a", "id_b", verify_jaccard)
     )

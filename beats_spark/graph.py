@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import truncate_lineage
+
 
 def _fingerprint(edges: DataFrame) -> tuple:
     """Cheap convergence check: (edge count, order-free hash of the set)."""
@@ -69,6 +71,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, component) for every node that appears in `edges`; component =
     the minimum node id reachable from it. Nodes absent from the edge list
@@ -76,22 +79,45 @@ def connected_components(
     `assign_components`), keeping this pass proportional to |E|, not |V|.
 
     Each round is two groupBy-min + join shuffles on the node id; lineage is
-    truncated per round with localCheckpoint so the plan stays O(1) deep.
-    Driver state is a 2-value fingerprint per round — never the edge set.
+    truncated per round (`scale.truncate_lineage`) so the plan stays O(1)
+    deep. `reliable=False` (default) uses localCheckpoint — fast, but blocks
+    are unreplicated executor-local, so on a real cluster one lost executor
+    mid-iteration kills the job; pass `reliable=True` on a cluster to
+    checkpoint to the session's checkpoint dir (or persist(DISK_ONLY) when
+    none is set). Driver state is a 2-value fingerprint per round — never
+    the edge set.
+
+    Raises RuntimeError if the star rounds have not converged after
+    `max_iter` iterations: returning the partially-contracted mapping would
+    silently mis-assign components (downstream dedup would drop the wrong
+    docs). Star contraction halves the diameter per round, so the default
+    25 covers graphs of diameter ≈ 2^25.
     """
-    e = (
+    e = truncate_lineage(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable=reliable,
     )
     prev = _fingerprint(e)
+    converged = False
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = truncate_lineage(_small_star(_large_star(e)), reliable=reliable)
         cur = _fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # one extra verification pass: the fingerprint may have stabilized
+        # exactly at the last allowed iteration
+        nxt = _small_star(_large_star(e))
+        if _fingerprint(nxt) != prev:
+            raise RuntimeError(
+                f"connected_components: star contraction did not converge "
+                f"within max_iter={max_iter} rounds — partial node→component "
+                f"mapping would be WRONG; raise max_iter"
+            )
     # star forest: e = (node, root); roots themselves carry no out-edge
     roots = e.select(F.col("v").alias("node")).distinct()
     return (
@@ -108,12 +134,13 @@ def assign_components(
     src: str = "id_a",
     dst: str = "id_b",
     target: str = "component",
+    reliable: bool = False,
 ) -> DataFrame:
     """Attach a component id to every row of `df`: the min reachable id via
     `edges`, or the row's own id when it touches no edge (singleton)."""
-    comp = connected_components(edges, src=src, dst=dst).withColumnRenamed(
-        "node", id_col
-    )
+    comp = connected_components(
+        edges, src=src, dst=dst, reliable=reliable
+    ).withColumnRenamed("node", id_col)
     return df.join(comp, id_col, "left").withColumn(
         target, F.coalesce(F.col("component"), F.col(id_col))
     )

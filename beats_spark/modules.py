@@ -1694,6 +1694,10 @@ def elasticsearch_server(df: DataFrame, field: str = "message",
         ).otherwise(pt_ts),
     )
     out = out.withColumn("event_kind", F.lit("event"))
+    # scalar (not array<string>) on purpose: the elasticsearch pipelines use
+    # `set` processors, not `append` — every golden under
+    # filebeat/module/elasticsearch/*/test/*-expected.json records
+    # "event.category": "database" as a plain string
     out = out.withColumn("event_category", F.lit("database"))
     out = out.withColumn(
         "event_type",
@@ -1776,6 +1780,7 @@ def elasticsearch_gc(df: DataFrame, field: str = "message") -> DataFrame:
         ),
     )
     out = out.withColumn("event_kind", F.lit("metric"))
+    # scalar on purpose — the gc pipeline `set`s these; goldens are scalar
     out = out.withColumn("event_category", F.lit("database"))
     out = out.withColumn("event_type", F.lit("info"))
     return out
@@ -1865,6 +1870,8 @@ def elasticsearch_deprecation(df: DataFrame, field: str = "message",
         ).otherwise(pt_ts),
     )
     out = out.withColumn("event_kind", F.lit("event"))
+    # scalar on purpose — the deprecation pipeline `set`s these; goldens
+    # are scalar
     out = out.withColumn("event_category", F.lit("database"))
     out = out.withColumn("event_type", F.lit("info"))
     out = out.withColumn("host_id", F.col("elasticsearch_node_id"))
@@ -1939,3 +1946,214 @@ def kibana_log(df: DataFrame, field: str = "message") -> DataFrame:
 
 
 MODULES["kibana.log"] = kibana_log
+
+
+# -- system.auth (system/auth/ingest/{files,grok-auth-messages}.yml) ---------
+
+AUTH_HEADER_PATTERNS = [
+    r"^%{TIMESTAMP:system.auth.timestamp} %{SYSLOGHOST:host.hostname}? "
+    r"%{DATA:process.name}(?:\[%{POSINT:process.pid:long}\])?:"
+    r"%{SPACE}%{GREEDYMULTILINE:_temp.message}$",
+]
+
+AUTH_HEADER_DEFINITIONS = {
+    "GREEDYMULTILINE": r"(.|\n)*",
+    "TIMESTAMP": r"(?:%{TIMESTAMP_ISO8601}|%{SYSLOGTIMESTAMP})",
+}
+
+# grok-auth-messages.yml — the sshd/sudo/groupadd/useradd specific bank
+AUTH_MESSAGE_PATTERNS = [
+    r"^%{DATA:system.auth.ssh.event} %{DATA:system.auth.ssh.method} for "
+    r"(invalid user)?%{DATA:user.name} from %{IPORHOST:source.address} port "
+    r"%{NUMBER:source.port:long} ssh2(: %{GREEDYDATA:system.auth.ssh.signature})?",
+    r"^%{DATA:system.auth.ssh.event} user %{DATA:user.name} from "
+    r"%{IPORHOST:source.address}",
+    r"^Did not receive identification string from "
+    r"%{IPORHOST:system.auth.ssh.dropped_ip}",
+    r"^%{DATA:user.name} :( %{DATA:system.auth.sudo.error} ;)? "
+    r"TTY=%{DATA:system.auth.sudo.tty} ; PWD=%{DATA:system.auth.sudo.pwd} ; "
+    r"USER=%{DATA:system.auth.sudo.user} ; "
+    r"COMMAND=%{GREEDYDATA:system.auth.sudo.command}",
+    r"^new group: name=%{DATA:group.name}, GID=%{NUMBER:group.id}",
+    r"^new user: name=%{DATA:user.name}, UID=%{NUMBER:user.id}, "
+    r"GID=%{NUMBER:group.id}, home=%{DATA:system.auth.useradd.home}, "
+    r"shell=%{DATA:system.auth.useradd.shell}$",
+]
+
+# files.yml grok-pam-users — usernames from unmatched PAM messages
+AUTH_PAM_PATTERNS = [
+    r"for user %{QUOTE}?%{DATA:_temp.foruser}%{QUOTE}? by "
+    r"%{QUOTE}?%{DATA:_temp.byuser}%{QUOTE}?(?:\(uid=%{NUMBER:_temp.byuid}\))?$",
+    r"for user %{QUOTE}?%{DATA:_temp.foruser}%{QUOTE}?$",
+    r"by user %{QUOTE}?%{DATA:_temp.byuser}%{QUOTE}?$",
+    r"%{BOUNDARY} user %{QUOTE}%{DATA:_temp.user}%{QUOTE}",
+]
+
+AUTH_PAM_DEFINITIONS = {
+    "QUOTE": "['\"]",
+    "BOUNDARY": "(?<! )",
+}
+
+_IAM_USER_PROCS = ["useradd", "userdel", "usermod"]
+_IAM_GROUP_PROCS = ["groupadd", "groupdel", "groupmod"]
+_IAM_PROCS = _IAM_USER_PROCS + _IAM_GROUP_PROCS
+
+# the date processor's formats ('MMM  d HH:mm:ss', 'MMM dd HH:mm:ss',
+# ISO8601) as Go layouts; offset-carrying ISO forms parse to an absolute
+# instant and must NOT be shifted by the configured event.timezone
+_AUTH_TS_OFFSET_LAYOUTS = [
+    "2006-01-02T15:04:05.999999Z07:00",
+    "2006-01-02T15:04:05.999Z07:00",
+    "2006-01-02T15:04:05Z07:00",
+]
+_AUTH_TS_LOCAL_LAYOUTS = [
+    "2006-01-02T15:04:05.999999",
+    "2006-01-02T15:04:05.999",
+    "2006-01-02T15:04:05",
+    "Jan _2 15:04:05",
+    "Jan 02 15:04:05",
+]
+
+
+def system_auth(df: DataFrame, field: str = "message",
+                timezone: str | None = None) -> DataFrame:
+    """system/auth/ingest/files.yml + grok-auth-messages.yml as a DataFrame
+    program: three chained grok banks (header → specific auth messages →
+    PAM usernames on the unmatched remainder), the rename-cascade user
+    resolution, source.address→ip/domain split, dropped-ip convert, ssh /
+    iam event categorization, related.* appends, and the mixed
+    offset/zoneless date chain. Golden parity vs the reference's
+    test/*.log-expected.json is pinned in tests/test_modules.py."""
+    out = P.grok(df, AUTH_HEADER_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=AUTH_HEADER_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("host_hostname", p["host_hostname"])
+    out = out.withColumn("process_name", p["process_name"])
+    out = out.withColumn("process_pid", p["process_pid"])
+    out = out.withColumn("_tmpmsg", p["_temp_message"])
+
+    # stage 2: specific auth messages; on failure the remainder becomes
+    # `message` (files.yml pipeline on_failure rename)
+    out = P.grok(out, AUTH_MESSAGE_PATTERNS, field="_tmpmsg",
+                 target_prefix="_msg", flag_failures=False)
+    m = F.col("_msg")
+    out = out.withColumn("message_out",
+                         F.when(m.isNull(), F.col("_tmpmsg")))
+
+    # stage 3: PAM usernames over the unmatched remainder only
+    out = P.grok(out, AUTH_PAM_PATTERNS, field="message_out",
+                 target_prefix="_pam",
+                 pattern_definitions=AUTH_PAM_DEFINITIONS,
+                 flag_failures=False)
+    q = F.col("_pam")
+    byuser, foruser = q["_temp_byuser"], q["_temp_foruser"]
+    puser, byuid = q["_temp_user"], q["_temp_byuid"]
+
+    # rename cascade (files.yml): byuser wins user.name, then foruser, then
+    # the bare 'user' capture; foruser becomes user.effective.name exactly
+    # when user.name was already taken (by the specific bank or byuser);
+    # the sudo convert then overwrites user.effective.name when present
+    s2u = m["user_name"]
+    out = out.withColumn("user_name", F.coalesce(s2u, byuser, foruser, puser))
+    eff_pam = F.when(F.coalesce(s2u, byuser).isNotNull(), foruser)
+    out = out.withColumn("user_effective_name",
+                         F.coalesce(m["system_auth_sudo_user"], eff_pam))
+    out = out.withColumn("user_id", F.coalesce(m["user_id"], byuid))
+
+    # convert source.address → source.ip (type ip; on_failure → domain);
+    # convert ssh.dropped_ip → source.ip (on_failure removes dropped_ip)
+    addr = m["source_address"]
+    dropped = m["system_auth_ssh_dropped_ip"]
+    ip_ok = addr.rlike(_IP_RE)
+    drop_ok = dropped.rlike(_IP_RE)
+    out = out.withColumn("source_address", addr)
+    out = out.withColumn("source_domain",
+                         F.when(addr.isNotNull() & ~ip_ok, addr))
+    out = out.withColumn("system_auth_ssh_dropped_ip",
+                         F.when(drop_ok, dropped))
+    out = out.withColumn(
+        "source_ip",
+        F.coalesce(F.when(ip_ok, addr), F.when(drop_ok, dropped)),
+    )
+    out = out.withColumn("source_port", m["source_port"])
+    for fld in ["system_auth_ssh_event", "system_auth_ssh_method",
+                "system_auth_ssh_signature", "system_auth_sudo_error",
+                "system_auth_sudo_tty", "system_auth_sudo_pwd",
+                "system_auth_sudo_user", "system_auth_sudo_command",
+                "group_name", "group_id", "system_auth_useradd_home",
+                "system_auth_useradd_shell"]:
+        out = out.withColumn(fld, m[fld])
+
+    # categorization: the ssh painless script + the iam append/set chain.
+    # ssh events come from process 'sshd' and the iam procs are the
+    # user*/group* binaries — the two branches are disjoint by construction,
+    # so the when-chain reproduces the script-then-append order exactly.
+    evt = F.col("system_auth_ssh_event")
+    proc = F.col("process_name")
+    ssh_ok = evt == "Accepted"
+    ssh_fail = evt.isin("Invalid", "Failed")
+    is_iam = proc.isin(*_IAM_PROCS)
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_category",
+        F.when(ssh_ok, F.array(F.lit("authentication"), F.lit("session")))
+        .when(ssh_fail, F.array(F.lit("authentication")))
+        .when(is_iam, F.array(F.lit("iam"))),
+    )
+    out = out.withColumn(
+        "event_action", F.when(ssh_ok | ssh_fail, F.lit("ssh_login"))
+    )
+    msg_has_fail = F.coalesce(F.col("message_out").contains("fail"),
+                              F.lit(False))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(is_iam, F.when(msg_has_fail, "failure").otherwise("success"))
+        .when(ssh_ok, "success")
+        .when(ssh_fail, "failure"),
+    )
+    iam_first = F.when(proc.isin(*_IAM_USER_PROCS), "user").otherwise("group")
+    iam_second = (
+        F.when(proc.isin("useradd", "groupadd"), "creation")
+        .when(proc.isin("userdel", "groupdel"), "deletion")
+        .otherwise("change")
+    )
+    out = out.withColumn(
+        "event_type",
+        F.when(ssh_ok | ssh_fail, F.array(F.lit("info")))
+        .when(is_iam, F.array(iam_first, iam_second)),
+    )
+
+    # related.* appends (allow_duplicates: false, skip null/empty)
+    def _related(*cols):
+        arr = F.array_distinct(
+            F.filter(F.array(*cols),
+                     lambda x: x.isNotNull() & (x != F.lit("")))
+        )
+        return F.when(F.size(arr) > 0, arr)
+
+    out = out.withColumn(
+        "related_user",
+        _related(F.col("user_name"), F.col("user_effective_name")),
+    )
+    out = out.withColumn("related_ip", _related(F.col("source_ip")))
+    out = out.withColumn("related_hosts", _related(F.col("host_hostname")))
+
+    # date: offset-carrying ISO parses absolute; zoneless forms are local
+    # to the configured event.timezone
+    raw_ts = p["system_auth_timestamp"]
+    offset_ts = F.coalesce(*[
+        F.try_to_timestamp(raw_ts, F.lit(P.go_layout_to_java(l)))
+        for l in _AUTH_TS_OFFSET_LAYOUTS
+    ])
+    local_ts = F.coalesce(*[
+        F.try_to_timestamp(raw_ts, F.lit(P.go_layout_to_java(l)))
+        for l in _AUTH_TS_LOCAL_LAYOUTS
+    ])
+    if timezone:
+        local_ts = F.to_utc_timestamp(local_ts, timezone)
+    out = out.withColumn("timestamp", F.coalesce(offset_ts, local_ts))
+    return out.drop("_tmpmsg")
+
+
+MODULES["system.auth"] = system_auth

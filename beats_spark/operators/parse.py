@@ -582,6 +582,12 @@ _GO_TO_JAVA = [
     ("MST", "zzz"), ("PM", "a"), ("03", "hh"), ("06", "yy"),
     # bare literal letters in Go layouts must be quoted for JDK patterns
     ("T", "'T'"),
+    # bare "2" = Go's unpadded day-of-month. Applied LAST: every other
+    # reference-time token containing a '2' ("2006", "02", "_2") has already
+    # been rewritten above, so any surviving '2' is the standalone day token
+    # (e.g. redis's "2 Jan 2006 15:04:05.999"). Java 'd' accepts both padded
+    # and unpadded day digits.
+    ("2", "d"),
 ]
 
 

@@ -1053,27 +1053,90 @@ def q_dedup_components(spark, sf_dir):
     return assign_components(docs, pairs).select("doc_id", "component")
 
 
-# rows-only entries (hash-family internals differ engine-to-engine → the
-# driver records the weaker rows-only check; pytest covers exact behavior)
+# shingle-set SQL twin of dedup.normalize_text + shingles_expr (k=5)
+_SHINGLE_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(length(nt) - 4, 1) + 1),"
+    " i -> substr(nt, CAST(i AS INTEGER), 5)))"
+)
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# exact near-dup pair CTE over char-5 shingle sets at J ≥ 0.6: brute-force
+# all-pairs, so it is the ground truth the banded minhash path must equal.
+# The Spark side runs bands = num_hashes (1 minhash row per band): a true
+# pair is a candidate iff ANY of the 64 minhashes collide — miss
+# probability (1-J)^64 ≤ 1e-25 at J ≥ 0.6 — and the survivor filter is the
+# same exact-Jaccard verify, so the two engines agree up to 64-bit shingle
+# hash collisions (P ≈ |shingles|²/2⁶⁴ per pair).
+_MINHASH_PAIRS_CTE = f"""
+d AS (SELECT doc_id, {_SHINGLE_SQL} AS s
+      FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+            WHERE text IS NOT NULL AND doc_id < 2000)),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+)
+"""
 
 
-@register("minhash_dedup")
+@register(
+    "minhash_dedup",
+    f"""
+WITH {_MINHASH_PAIRS_CTE}
+SELECT doc_id FROM documents
+WHERE text IS NOT NULL AND doc_id < 2000
+  AND doc_id NOT IN (SELECT DISTINCT id_b FROM p)
+""",
+)
 def q_minhash_dedup(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.minhash_dedup(docs, threshold=0.6).select("doc_id")
-
-
-@register("minhash_dedup_cc")
-def q_minhash_dedup_cc(spark, sf_dir):
-    """Transitive (connected-component) variant of minhash_dedup: one
-    survivor per near-dup cluster even across chains a~b~c where a,c are
-    not directly similar. Sliced to doc_id < 2000 (no-op at the
-    correctness SF) — the CC rounds over this corpus's dense near-dup
-    graph are the cost driver, not the minhash candidate generation."""
+    """Survivors after single-link minhash dedup (drop any doc with a
+    lower-id near-duplicate). bands=num_hashes=64 makes candidate recall
+    exact-in-practice (miss ≤ (1-J)^64), so the brute-force shingle-set
+    oracle is an equality check, not a bound."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.col("doc_id") < 2000
-    )
-    return D.minhash_dedup_cc(docs, threshold=0.6).select("doc_id")
+    ).where(F.col("text").isNotNull())
+    return D.minhash_dedup(
+        docs, threshold=0.6, num_hashes=64, bands=64
+    ).select("doc_id")
+
+
+@register(
+    "minhash_dedup_cc",
+    f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+sym AS (SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b AS u, id_a AS v FROM p),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT doc_id FROM documents
+WHERE text IS NOT NULL AND doc_id < 2000
+  AND doc_id NOT IN (SELECT node FROM comp WHERE node != component)
+""",
+)
+def q_minhash_dedup_cc(spark, sf_dir):
+    """Transitive (connected-component) variant of minhash_dedup: one
+    survivor (the min id) per near-dup cluster even across chains a~b~c
+    where a,c are not directly similar. Sliced to doc_id < 2000 (no-op at
+    the correctness SF). Oracle: recursive-CTE transitive closure over the
+    brute-force exact pair set — an independent algorithm for both the
+    pair generation AND the component contraction."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 2000
+    ).where(F.col("text").isNotNull())
+    return D.minhash_dedup_cc(
+        docs, threshold=0.6, num_hashes=64, bands=64
+    ).select("doc_id")
+
+
+# rows-only entries (hash-family internals differ engine-to-engine → the
+# driver records the weaker rows-only check; pytest covers exact behavior)
 
 
 @register("simhash_pairs")
@@ -1082,10 +1145,38 @@ def q_simhash_pairs(spark, sf_dir):
     return D.simhash_near_pairs(docs, max_hamming=10)
 
 
-@register("ngram_jaccard_pairs")
+@register(
+    "ngram_jaccard_pairs",
+    """
+WITH d AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id < 1000)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.g, b.g)) AS i,
+         len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS u
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(i * 1.0 / u, 6) AS jaccard
+FROM p WHERE i >= 0.3 * u
+""",
+)
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.ngram_jaccard_pairs(docs, threshold=0.3)
+    """Word-3-gram Jaccard pairs in `exact` mode (prefix-filter candidate
+    generation — provably no missed pairs), so the brute-force all-pairs
+    DuckDB oracle is an equality check. The banded minhash candidate mode
+    (exact=False) is the 100-TB scale path; both share the same exact
+    verify. Sliced to doc_id < 1000 (no-op at the correctness SF) for the
+    same pair-density reason as prefix_jaccard_pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1000
+    )
+    return D.ngram_jaccard_pairs(docs, threshold=0.3, exact=True)
 
 
 @register("ann_lsh_topk")

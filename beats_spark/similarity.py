@@ -194,19 +194,28 @@ def lsh_topk(
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 
+    # candidates travel as BARE (query_id, neighbor_id) pairs: the bucket
+    # joins and the cross-table dropDuplicates exchange never carry the
+    # embedding arrays — vectors are joined back BY ID for scoring only
     cands = None
     for t in range(n_tables):
         vs = lsh_signatures(v, dim, n_planes, "_vvec", "_b", seed=11 + t)
         qs = lsh_signatures(q, dim, n_planes, "_qvec", "_b", seed=11 + t)
-        c = vs.join(qs, "_b").select("query_id", "neighbor_id", "_qvec", "_vvec")
+        c = vs.select("_b", "neighbor_id").join(
+            qs.select("_b", "query_id"), "_b"
+        ).select("query_id", "neighbor_id")
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    scored = cands.withColumn(
-        "score",
-        _dot(F.col("_qvec"), F.col("_vvec"))
-        / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(q, "query_id")
+        .withColumn(
+            "score",
+            _dot(F.col("_qvec"), F.col("_vvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
@@ -217,17 +226,29 @@ def lsh_topk(
 
 
 def _assign_cells(v: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine (centroids broadcast)."""
+    """Nearest-centroid assignment by cosine (centroids broadcast).
+
+    groupBy + max_by instead of a row_number window: the window shape
+    shuffles AND globally sorts all |V|×n_cells scored rows; the aggregate
+    gets map-side partial combine, so the exchange carries one row per
+    vector and no sort step. Cosine ties break toward the LOWEST cell_id
+    (cell_id negated in the ordering struct), matching the old window's
+    (desc score, asc cell_id) determinism."""
     a = (
         v.crossJoin(F.broadcast(cents))
         .withColumn("_d", _dot(F.col("_vvec"), F.col("_cvec"))
                     / (_norm(F.col("_vvec")) * _norm(F.col("_cvec"))))
     )
-    w = W.partitionBy(id_name).orderBy(F.col("_d").desc(), F.col("cell_id"))
-    return (
-        a.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_name, "_vvec", "cell_id")
+    best = a.groupBy(id_name).agg(
+        F.max_by(
+            F.struct(F.col("_vvec"), F.col("cell_id")),
+            F.struct(F.col("_d").alias("d"), (-F.col("cell_id")).alias("nc")),
+        ).alias("_best")
+    )
+    return best.select(
+        id_name,
+        F.col("_best._vvec").alias("_vvec"),
+        F.col("_best.cell_id").alias("cell_id"),
     )
 
 

@@ -149,28 +149,46 @@ def lang_id_sql(text_col: str = "text") -> str:
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
                     target: str = "doc_fp", k: int = 8) -> DataFrame:
     """Rolling-shingle fingerprint: min sha256 over all k-char shingles of
     the normalized text (the winnowing global-min special case — stable
     under small edits away from the minimizing shingle).
 
-    The normalized text is materialized into a column first: referencing the
-    regexp expression inside transform() would re-evaluate it once per array
-    element (~8× slower measured)."""
-    return (
-        df.withColumn(
-            "_fp_norm",
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-        )
-        .withColumn(
-            target,
-            F.expr(
-                f"array_min(transform(sequence(1, greatest(length(_fp_norm) - {k - 1}, 1)),"
-                f" i -> sha2(substr(_fp_norm, i, {k}), 256)))"
-            ),
-        )
-        .drop("_fp_norm")
+    Shape: explode the shingle positions → sha256 → `groupBy(id).min` →
+    join back by id. Spark higher-order array lambdas (`transform`) are
+    interpreted per element — one interpreted sha256 call per character
+    position dominated the profile (the same anti-pattern measured in
+    minhash signatures, dedup.py); the explode feeds whole-stage-codegen'd
+    hashing, and the map-side partial min() collapses each doc to one row
+    before the shuffle, so the exchange carries |docs| rows regardless of
+    text length. Rows whose text is NULL get a NULL fingerprint (the
+    explode drops them; the left join restores them)."""
+    norm = df.withColumn(
+        "_fp_norm",
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
     )
+    fp = (
+        norm.select(
+            F.col(id_col).alias("_fp_id"),
+            "_fp_norm",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("_fp_norm") - (k - 1), F.lit(1)),
+                )
+            ).alias("_fp_i"),
+        )
+        .groupBy("_fp_id")
+        .agg(
+            F.min(
+                F.sha2(F.col("_fp_norm").substr(F.col("_fp_i"), F.lit(k)), 256)
+            ).alias(target)
+        )
+    )
+    return df.join(
+        fp, df[id_col] == fp["_fp_id"], "left"
+    ).drop("_fp_id")
 
 
 def doc_fingerprint_sql(text_col: str = "text", k: int = 8) -> str:

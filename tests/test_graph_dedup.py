@@ -147,3 +147,71 @@ def test_prefix_filter_on_documents_table(spark):
         assert r["id_a"] < r["id_b"]
         assert r["inter_size"] <= r["union_size"]
         assert r["jaccard"] >= 0.5
+
+
+def test_truncate_lineage_local_and_reliable(spark):
+    import tempfile
+
+    from beats_spark.scale import truncate_lineage
+
+    df = spark.range(100)
+    # default: localCheckpoint, deferred — constructing it runs no job
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    lazy = truncate_lineage(df)
+    _ = lazy.columns
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before)
+    assert lazy.count() == 100
+
+    # reliable with no checkpoint dir: persist(DISK_ONLY)
+    assert spark.sparkContext.getCheckpointDir() is None
+    disk = truncate_lineage(spark.range(50), reliable=True)
+    assert disk.storageLevel.useDisk and not disk.storageLevel.useMemory
+    assert disk.count() == 50
+    disk.unpersist()
+
+    # reliable with a checkpoint dir: true cluster-durable checkpoint
+    d = tempfile.mkdtemp(prefix="bs_ckpt_")
+    spark.sparkContext.setCheckpointDir(d)
+    try:
+        ck = truncate_lineage(spark.range(25), reliable=True, eager=True)
+        assert ck.count() == 25
+        import os
+
+        assert any(os.scandir(d))  # blocks actually written to the dir
+    finally:
+        getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+            spark._jvm.scala.Option.apply(None)
+        )
+
+
+def test_cc_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=0)
+
+
+def test_cc_reliable_path_matches_local(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)], "id_a long, id_b long"
+    )
+    local = sorted(map(tuple, connected_components(edges).collect()))
+    durable = sorted(
+        map(tuple, connected_components(edges, reliable=True).collect())
+    )
+    assert local == durable
+
+
+def test_minhash_pairs_construction_triggers_no_jobs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.count()  # flush read-side metadata jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    pairs = D.minhash_lsh_pairs(docs)
+    _ = pairs.columns
+    after = tracker.getJobIdsForGroup(None) or []
+    # eager=False lineage cut: merely BUILDING the pairs frame runs nothing
+    assert len(after) == len(before)

@@ -249,6 +249,14 @@ def test_redis_log_golden(spark, log):
     ]
     rows = _run(spark, redis_log, lines)
     _check(rows, golden, REDIS_FIELDS, ts_field=None)
+    if log == "redis-5.0.3.log":
+        # golden omits @timestamp, so pin the year-full layout directly:
+        # '26571:M 27 Dec 2018 11:19:18.874 *' — the Go layout's bare-'2'
+        # (unpadded day) token must map to Java 'd', not a literal digit
+        assert rows[0]["timestamp"] == datetime.datetime(
+            2018, 12, 27, 11, 19, 18, 874000
+        )
+        assert all(r["timestamp"] is not None for r in rows)
 
 
 MYSQL_ERROR_FIELDS = [
@@ -718,3 +726,41 @@ def test_kibana_log_golden(spark, log):
             assert meta.get("prevState") == exp["kibana.log.meta.prevState"]
         if "kibana.log.meta.req.userAgent" in exp:
             assert req.get("userAgent") == exp["kibana.log.meta.req.userAgent"]
+
+
+AUTH_FIELDS = [
+    "host.hostname", "process.name", "process.pid",
+    "source.address", "source.ip", "source.domain", "source.port",
+    "user.name", "user.id", "user.effective.name",
+    "group.name", "group.id",
+    "system.auth.ssh.event", "system.auth.ssh.method",
+    "system.auth.ssh.signature", "system.auth.ssh.dropped_ip",
+    "system.auth.sudo.error", "system.auth.sudo.tty",
+    "system.auth.sudo.pwd", "system.auth.sudo.user",
+    "system.auth.sudo.command",
+    "system.auth.useradd.home", "system.auth.useradd.shell",
+    "event.kind", "event.action", "event.outcome",
+    "event.category", "event.type",
+    "related.user", "related.ip", "related.hosts",
+]
+
+
+@pytest.mark.parametrize(
+    "log",
+    ["test.log", "timestamp.log", "secure-rhel7.log", "auth-ubuntu1204.log"],
+)
+def test_system_auth_golden(spark, log):
+    from beats_spark.modules import system_auth
+
+    lines, golden = _load_golden("system", "auth", log)
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, system_auth, lines, timezone=tz)
+    # yearless syslog stamps resolve their year ingest-side in the
+    # reference; only the ISO-stamped log asserts @timestamp
+    _check(rows, golden, AUTH_FIELDS,
+           ts_field="@timestamp" if log == "timestamp.log" else None)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
+        else:
+            assert row["message_out"] is None, (exp, row["message_out"])

@@ -132,6 +132,96 @@ def test_prefix_filter_plan_shape(spark):
     assert "SortMergeJoin" not in nodes
 
 
+def test_doc_fingerprint_no_interpreted_hof(spark):
+    # the shingle-min must run as explode → codegen'd sha2 → partial min
+    # aggregate; the interpreted array_min(transform(...)) lambda shape
+    # (one interpreted sha256 per char position) must not return
+    from beats_spark.textops import doc_fingerprint
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted_plan(doc_fingerprint(docs).select("doc_id", "doc_fp"))
+    assert "transform(" not in plan and "array_min" not in plan
+    nodes = _nodes(plan)
+    assert "Generate" in nodes  # the position explode
+    # min(string) is not hash-aggregable (immutable buffer) → SortAggregate;
+    # the load-bearing property is the map-side partial_min, which collapses
+    # each doc to one row BEFORE the exchange
+    assert "SortAggregate" in nodes or "HashAggregate" in nodes
+    assert "partial_min" in plan
+
+
+def test_ngram_candidates_carry_no_arrays(spark):
+    # band-join + candidate-dedup exchanges must move bare id pairs only;
+    # gram arrays are joined back by id for the verify, never shuffled
+    # with the candidates
+    import re
+
+    import beats_spark.dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted_plan(D.ngram_jaccard_pairs(docs))
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    band_exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "band" in b and "bhash" in b
+    ]
+    dedup_exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "id_a" in b and "id_b" in b
+    ]
+    assert band_exchanges and dedup_exchanges
+    for b in band_exchanges + dedup_exchanges:
+        assert "_g" not in b and "g_a" not in b and "g_b" not in b, b
+
+
+def _make_vecs(spark, n=60, dim=8):
+    import pyspark.sql.functions as SF
+
+    return spark.range(n).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(*[SF.rand(seed=i + 1) for i in range(dim)]).alias("embedding"),
+    )
+
+
+def test_ivf_assign_no_window_sort(spark):
+    # nearest-cell pick must be the max_by aggregate (map-side partials,
+    # |V|-row exchange), not a row_number window over |V|×n_cells rows
+    from beats_spark.similarity import ivf_topk
+
+    vecs = _make_vecs(spark)
+    out = ivf_topk(vecs, vecs.limit(2), k=3, n_cells=4, n_probe=2)
+    plan = _formatted_plan(out)
+    # exactly the two top-k windows survive (query probe + final rank);
+    # the vector-assignment window is gone
+    nodes = _nodes(plan)
+    assert nodes.count("Window") <= 2
+    assert "max_by" in plan
+
+
+def test_lsh_candidates_carry_no_vectors(spark):
+    # bucket joins + cross-table dedup move bare id pairs; embeddings join
+    # back by id for scoring only
+    import re
+
+    from beats_spark.similarity import lsh_topk
+
+    vecs = _make_vecs(spark)
+    plan = _formatted_plan(
+        lsh_topk(vecs, vecs.limit(2), dim=8, k=3, n_planes=4, n_tables=2)
+    )
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    dedup_exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "query_id" in b and "neighbor_id" in b
+    ]
+    assert dedup_exchanges
+    for b in dedup_exchanges:
+        assert "_qvec" not in b and "_vvec" not in b, b
+
+
 def test_connected_components_is_driver_light(spark):
     # the CC loop's driver traffic must stay a 2-value fingerprint per
     # round — the component assignment itself is never collected
