@@ -2157,3 +2157,347 @@ def system_auth(df: DataFrame, field: str = "message",
 
 
 MODULES["system.auth"] = system_auth
+
+
+# -- elasticsearch.slowlog (elasticsearch/slowlog/ingest/pipeline*.yml) ------
+
+ES_SLOWLOG_FIELDS_PATTERN = (
+    r"(\[%{INDEXNAME:elasticsearch.index.name}\]"
+    r"\[%{NUMBER:elasticsearch.shard.id}\])?(%{SPACE})"
+    r"(\[%{INDEXNAME:elasticsearch.index.name}\/"
+    r"%{DATA:elasticsearch.index.id}\])?(%{SPACE})%{SPACE}"
+    r"(took\[%{DATA:elasticsearch.slowlog.took}\],)?%{SPACE}"
+    r"(took_millis\[%{NUMBER:elasticsearch.slowlog.duration:long}\],)?%{SPACE}"
+    r"(type\[%{DATA:elasticsearch.slowlog.type}\],)?%{SPACE}"
+    r"(id\[%{DATA:elasticsearch.slowlog.id}\],)?%{SPACE}"
+    r"(routing\[%{DATA:elasticsearch.slowlog.routing}\],)?%{SPACE}"
+    r"(total_hits\[%{NUMBER:elasticsearch.slowlog.total_hits:int}\],)?%{SPACE}"
+    r"(types\[%{DATA:elasticsearch.slowlog.types}\],)?%{SPACE}"
+    r"(stats\[%{DATA:elasticsearch.slowlog.stats}\],)?%{SPACE}"
+    r"(search_type\[%{DATA:elasticsearch.slowlog.search_type}\],)?%{SPACE}"
+    r"(total_shards\[%{NUMBER:elasticsearch.slowlog.total_shards:int}\],)?%{SPACE}"
+    r"(source\[%{GREEDYMULTILINE:elasticsearch.slowlog.source_query}\])?,?"
+    r"%{SPACE}(extra_source\[%{DATA:elasticsearch.slowlog.extra_source}\])?,?"
+)
+
+ES_SLOWLOG_PT_PATTERNS = [
+    r"\[%{TIMESTAMP_ISO8601:elasticsearch.slowlog.timestamp}\]"
+    r"\[%{WORD:log.level}(%{SPACE})\]"
+    r"\[%{DATA:elasticsearch.slowlog.logger}\]%{SPACE}"
+    r"\[%{DATA:elasticsearch.node.name}\](%{SPACE})?"
+    + ES_SLOWLOG_FIELDS_PATTERN,
+]
+
+ES_SLOWLOG_MSG_PATTERNS = [
+    ES_SLOWLOG_FIELDS_PATTERN,
+    r"\[%{INDEXNAME:elasticsearch.index.name}\]"
+    r"\[%{NUMBER:elasticsearch.shard.id}\]",
+]
+
+ES_SLOWLOG_DEFINITIONS = {
+    "GREEDYMULTILINE": "(.|\n)*",
+    "INDEXNAME": r"[a-zA-Z0-9_.-]*",
+}
+
+_ES_SL7_SCHEMA = (
+    "type string, timestamp string, level string, component string, "
+    "`cluster.name` string, `node.name` string, `cluster.uuid` string, "
+    "`node.id` string, message string, took string, took_millis string, "
+    "doc_type string, id string, routing string, source string, "
+    "total_hits string, types string, stats string, search_type string, "
+    "total_shards string"
+)
+
+_ES_SL8_SCHEMA = (
+    "`@timestamp` string, `log.level` string, `ecs.version` string, "
+    "`service.name` string, `event.dataset` string, "
+    "`process.thread.name` string, `log.logger` string, "
+    "`elasticsearch.cluster.uuid` string, `elasticsearch.node.id` string, "
+    "`elasticsearch.node.name` string, `elasticsearch.cluster.name` string, "
+    "`elasticsearch.slowlog.message` string, `elasticsearch.slowlog.id` string, "
+    "`elasticsearch.slowlog.took` string, `elasticsearch.slowlog.took_millis` string, "
+    "`elasticsearch.slowlog.total_hits` string, `elasticsearch.slowlog.total_shards` string, "
+    "`elasticsearch.slowlog.search_type` string, `elasticsearch.slowlog.source` string, "
+    "`elasticsearch.slowlog.stats` string, `elasticsearch.slowlog.routing` string, "
+    "`elasticsearch.slowlog.doc_type` string, `trace.id` string"
+)
+
+_ES_SL_DATASETS = ["elasticsearch.slowlog", "elasticsearch.index_indexing_slowlog",
+                   "elasticsearch.index_search_slowlog"]
+
+_ES_SL_TS_LAYOUTS = [
+    "yyyy-MM-dd'T'HH:mm:ss,SSSXXX", "yyyy-MM-dd'T'HH:mm:ss,SSSXX",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX", "yyyy-MM-dd'T'HH:mm:ss.SSSXX",
+]
+
+
+def elasticsearch_slowlog(df: DataFrame, field: str = "message",
+                          timezone: str | None = None) -> DataFrame:
+    """elasticsearch/slowlog: first-char branch between the 6.x plaintext
+    grok (pipeline-plaintext.yml — verbatim bracket-field bank), the 7.x
+    JSON format (pipeline-json-7.yml: json → elasticsearch.slowlog.*,
+    component/level/node renames, re-grok of the embedded message) and the
+    8.x ECS-JSON format (pipeline-json-8.yml: flat dotted keys add_to_root,
+    drop of non-slowlog datasets, message set from slowlog.message).
+    event.duration = round(took_millis ms × 1e6); FATAL/ERROR → event.type
+    'error'. `stats` is emitted as the RAW string (the reference's split
+    processor turns 'a,b' into an array only when non-empty — the golden
+    test decodes both spellings).
+
+    Reference: elasticsearch/slowlog/ingest/{pipeline,pipeline-plaintext,
+    pipeline-json,pipeline-json-7,pipeline-json-8}.yml; goldens
+    elasticsearch/slowlog/test/*-expected.json."""
+    raw = F.col(field)
+    is_json = raw.startswith("{")
+    is_json8 = is_json & raw.contains("ecs.version")
+    is_json7 = is_json & ~raw.contains("ecs.version")
+
+    out = P.grok(df, ES_SLOWLOG_PT_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=ES_SLOWLOG_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    p = F.col("parsed")
+    out = out.withColumn("j7", F.when(is_json7, F.from_json(raw, _ES_SL7_SCHEMA)))
+    out = out.withColumn("j8", F.when(is_json8, F.from_json(raw, _ES_SL8_SCHEMA)))
+    j7, j8 = F.col("j7"), F.col("j8")
+
+    # drop processors: json-7 keeps only the two slowlog types; json-8
+    # keeps only the slowlog datasets (mixed-output server lines vanish)
+    out = out.filter(
+        (~is_json7 | j7["type"].isin("index_indexing_slowlog",
+                                     "index_search_slowlog"))
+        & (~is_json8 | j8["event.dataset"].isin(*_ES_SL_DATASETS))
+    )
+
+    # re-grok of the embedded message (json branches only)
+    out = out.withColumn(
+        "_slmsg",
+        F.when(is_json8, j8["elasticsearch.slowlog.message"])
+        .when(is_json7, j7["message"]),
+    )
+    out = P.grok(out, ES_SLOWLOG_MSG_PATTERNS, field="_slmsg",
+                 target_prefix="_mg", flag_failures=False,
+                 pattern_definitions=ES_SLOWLOG_DEFINITIONS)
+    g = F.col("_mg")
+
+    lvl = (
+        F.when(is_json8, j8["log.level"])
+        .when(is_json7, j7["level"])
+        .otherwise(p["log_level"])
+    )
+    out = out.withColumn("log_level", lvl)
+    out = out.withColumn("elasticsearch_slowlog_logger",
+                         p["elasticsearch_slowlog_logger"])
+    out = out.withColumn("log_logger", F.when(is_json8, j8["log.logger"]))
+    out = out.withColumn("elasticsearch_component",
+                         F.when(is_json7, j7["component"]))
+    out = out.withColumn("process_thread_name",
+                         F.when(is_json8, j8["process.thread.name"]))
+    out = out.withColumn("service_name", F.when(is_json8, j8["service.name"]))
+    out = out.withColumn(
+        "elasticsearch_node_name",
+        F.when(is_json8, j8["elasticsearch.node.name"])
+        .when(is_json7, j7["node.name"])
+        .otherwise(p["elasticsearch_node_name"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_node_id",
+        F.when(is_json8, j8["elasticsearch.node.id"])
+        .when(is_json7, j7["node.id"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_cluster_name",
+        F.when(is_json8, j8["elasticsearch.cluster.name"])
+        .when(is_json7, j7["cluster.name"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_cluster_uuid",
+        F.when(is_json8, j8["elasticsearch.cluster.uuid"])
+        .when(is_json7, j7["cluster.uuid"]),
+    )
+    # index/shard come from whichever grok ran (plaintext line or embedded
+    # json message)
+    for fld in ("elasticsearch_index_name", "elasticsearch_index_id",
+                "elasticsearch_shard_id"):
+        out = out.withColumn(fld, F.coalesce(p[fld], g[fld]))
+    out = out.withColumn(
+        "elasticsearch_slowlog_took",
+        F.coalesce(p["elasticsearch_slowlog_took"],
+                   g["elasticsearch_slowlog_took"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.took"])
+                   .when(is_json7, j7["took"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_type",
+        F.coalesce(p["elasticsearch_slowlog_type"],
+                   g["elasticsearch_slowlog_type"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_id",
+        F.coalesce(p["elasticsearch_slowlog_id"],
+                   g["elasticsearch_slowlog_id"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.id"])
+                   .when(is_json7, j7["id"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_routing",
+        F.coalesce(p["elasticsearch_slowlog_routing"],
+                   g["elasticsearch_slowlog_routing"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.routing"])
+                   .when(is_json7, j7["routing"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_search_type",
+        F.coalesce(p["elasticsearch_slowlog_search_type"],
+                   g["elasticsearch_slowlog_search_type"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.search_type"])
+                   .when(is_json7, j7["search_type"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_total_hits",
+        F.coalesce(p["elasticsearch_slowlog_total_hits"].cast("string"),
+                   g["elasticsearch_slowlog_total_hits"].cast("string"),
+                   F.when(is_json8, j8["elasticsearch.slowlog.total_hits"])
+                   .when(is_json7, j7["total_hits"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_total_shards",
+        F.coalesce(p["elasticsearch_slowlog_total_shards"].cast("string"),
+                   g["elasticsearch_slowlog_total_shards"].cast("string"),
+                   F.when(is_json8, j8["elasticsearch.slowlog.total_shards"])
+                   .when(is_json7, j7["total_shards"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_types",
+        F.coalesce(p["elasticsearch_slowlog_types"],
+                   g["elasticsearch_slowlog_types"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.doc_type"])
+                   .when(is_json7, F.coalesce(j7["types"], j7["doc_type"]))),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_stats",
+        F.coalesce(p["elasticsearch_slowlog_stats"],
+                   g["elasticsearch_slowlog_stats"],
+                   F.when(is_json8, j8["elasticsearch.slowlog.stats"])
+                   .when(is_json7, j7["stats"])),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_source",
+        F.when(is_json8, j8["elasticsearch.slowlog.source"])
+        .when(is_json7, j7["source"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_source_query",
+        F.coalesce(p["elasticsearch_slowlog_source_query"],
+                   g["elasticsearch_slowlog_source_query"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_slowlog_extra_source",
+        F.coalesce(p["elasticsearch_slowlog_extra_source"],
+                   g["elasticsearch_slowlog_extra_source"]),
+    )
+
+    # event.duration = round(duration_ms * 1e6); the embedded-message grok
+    # overwrites the raw took_millis exactly like the reference's grok-after-
+    # rename ordering
+    dur_ms = F.coalesce(
+        p["elasticsearch_slowlog_duration"].cast("double"),
+        g["elasticsearch_slowlog_duration"].cast("double"),
+        F.when(is_json8, j8["elasticsearch.slowlog.took_millis"])
+        .when(is_json7, j7["took_millis"]).cast("double"),
+    )
+    out = out.withColumn(
+        "event_duration", F.round(dur_ms * 1e6).cast("long")
+    )
+
+    # message: plaintext + json-7 keep the raw line; json-8 sets it to the
+    # embedded slowlog message (ignore_empty_value → raw line kept if empty)
+    out = out.withColumn(
+        "message_out",
+        F.when(is_json8,
+               F.coalesce(j8["elasticsearch.slowlog.message"], raw))
+        .otherwise(raw),
+    )
+
+    # dates: plaintext is zoneless (event.timezone applies); json stamps
+    # carry their own offset (comma or dot millis, Z / ±HH:mm / ±HHmm)
+    pt_ts = F.try_to_timestamp(
+        p["elasticsearch_slowlog_timestamp"],
+        F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS"),
+    )
+    if timezone:
+        pt_ts = F.to_utc_timestamp(pt_ts, timezone)
+    json_raw_ts = F.when(is_json8, j8["@timestamp"]).when(
+        is_json7, j7["timestamp"]
+    )
+    json_ts = F.coalesce(*[
+        F.try_to_timestamp(json_raw_ts, F.lit(fmt))
+        for fmt in _ES_SL_TS_LAYOUTS
+    ])
+    out = out.withColumn(
+        "timestamp", F.when(is_json, json_ts).otherwise(pt_ts)
+    )
+
+    out = out.withColumn(
+        "event_dataset",
+        F.when(is_json8, j8["event.dataset"])
+        .otherwise(F.lit("elasticsearch.slowlog")),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    # scalar on purpose — `set` processors; goldens are scalar
+    out = out.withColumn("event_category", F.lit("database"))
+    out = out.withColumn(
+        "event_type",
+        F.when(lvl.isNotNull(),
+               F.when(lvl.isin("FATAL", "ERROR"), "error").otherwise("info")),
+    )
+    out = out.withColumn("host_name", F.col("elasticsearch_node_name"))
+    out = out.withColumn("host_id", F.col("elasticsearch_node_id"))
+    return out.drop("j7", "j8", "_slmsg")
+
+
+MODULES["elasticsearch.slowlog"] = elasticsearch_slowlog
+
+
+# -- nginx.error (nginx/error/ingest/pipeline.yml) ---------------------------
+
+NGINX_ERROR_PATTERNS = [
+    r"%{DATA:nginx.error.time} \[%{DATA:log.level}\] "
+    r"%{NUMBER:process.pid:long}#%{NUMBER:process.thread.id:long}: "
+    r"(\*%{NUMBER:nginx.error.connection_id:long} )?"
+    r"%{GREEDYMULTILINE:message}",
+]
+
+NGINX_ERROR_DEFINITIONS = {"GREEDYMULTILINE": "(.|\n|\t)*"}
+
+
+def nginx_error(df: DataFrame, field: str = "message",
+                timezone: str | None = None) -> DataFrame:
+    """nginx/error/ingest/pipeline.yml: single grok (verbatim, incl. the
+    optional *connection_id), event.original kept as the raw line, zoneless
+    'yyyy/MM/dd H:m:s' date shifted by event.timezone, and the static
+    event.kind/category/type appends."""
+    out = P.grok(df, NGINX_ERROR_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=NGINX_ERROR_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    out = out.withColumn("message_out", p["message"])
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("process_pid", p["process_pid"])
+    out = out.withColumn("process_thread_id", p["process_thread_id"])
+    out = out.withColumn("nginx_error_connection_id",
+                         p["nginx_error_connection_id"])
+    ts = F.try_to_timestamp(p["nginx_error_time"],
+                            F.lit("yyyy/MM/dd HH:mm:ss"))
+    if timezone:
+        ts = F.to_utc_timestamp(ts, timezone)
+    out = out.withColumn("timestamp", ts)
+    out = out.withColumn("event_kind", F.lit("event"))
+    # append processors onto absent fields → single-element arrays
+    out = out.withColumn("event_category", F.array(F.lit("web")))
+    out = out.withColumn("event_type", F.array(F.lit("error")))
+    return out
+
+
+MODULES["nginx.error"] = nginx_error

@@ -1530,6 +1530,84 @@ def q_module_apache(spark, sf_dir):
     )
 
 
+def _auth_line_sql(dialect: str) -> str:
+    """Deterministic ssh/sudo/useradd auth lines from the events table —
+    ISO (year-full, zoneless) stamps so the date chain is reproducible in
+    both engines. Four line classes by event_id % 4: Accepted ssh, Failed
+    ssh, sudo, useradd."""
+    iso = (
+        "date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss')"
+        if dialect == "spark"
+        else "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    )
+    pid = "CAST(event_id % 9000 + 100 AS BIGINT)"
+    un = "CAST(user_id % 50 AS BIGINT)"
+    o1, o2 = "CAST(user_id % 250 AS BIGINT)", "CAST(event_id % 250 AS BIGINT)"
+    port = "CAST(event_id % 60000 + 1024 AS BIGINT)"
+    return f"""CASE CAST(event_id % 4 AS INT)
+ WHEN 0 THEN printf('%s localhost sshd[%d]: Accepted password for user%d from 10.0.%d.%d port %d ssh2',
+                    {iso}, {pid}, {un}, {o1}, {o2}, {port})
+ WHEN 1 THEN printf('%s localhost sshd[%d]: Failed password for root from 10.0.%d.%d port %d ssh2',
+                    {iso}, {pid}, {o1}, {o2}, {port})
+ WHEN 2 THEN printf('%s localhost sudo: user%d : TTY=pts/0 ; PWD=/home/user%d ; USER=root ; COMMAND=/bin/ls',
+                    {iso}, {un}, {un})
+ ELSE printf('%s localhost useradd[%d]: new user: name=user%d, UID=%d, GID=%d, home=/home/user%d, shell=/bin/bash',
+             {iso}, {pid}, {un}, {un}, {un}, {un})
+ END"""
+
+
+@register(
+    "module_system_auth",
+    """
+WITH expected AS (
+  SELECT CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'success'
+              WHEN 1 THEN 'failure' WHEN 3 THEN 'success' END AS outcome,
+         CASE WHEN event_id % 4 IN (0, 1)
+              THEN printf('10.0.%d.%d', user_id % 250, event_id % 250)
+              END AS src_ip,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 1 THEN 'root'
+              ELSE printf('user%d', user_id % 50) END AS uname,
+         CASE WHEN event_id % 4 = 2 THEN 'root' END AS eff,
+         CASE WHEN event_id % 4 IN (0, 1)
+              THEN event_id % 60000 + 1024 END AS port,
+         CASE WHEN event_id % 4 IN (0, 1) THEN 'ssh_login' END AS action,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT outcome, count(*) AS n_rows, count(src_ip) AS n_ip,
+       count(DISTINCT uname) AS n_users,
+       min(uname) AS min_user, max(uname) AS max_user,
+       count(eff) AS n_eff, count(action) AS n_action,
+       CAST(sum(port) AS BIGINT) AS sum_port,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1
+""",
+)
+def q_module_system_auth(spark, sf_dir):
+    """The system.auth module pipeline (modules.py; golden parity vs all
+    four reference logs pinned in tests/test_modules.py) over synthesized
+    ssh/sudo/useradd lines; the oracle derives every expected field
+    independently from the event columns each line was printed from."""
+    from beats_spark.modules import system_auth
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(f"{_auth_line_sql('spark')} AS message")
+    out = system_auth(lines)
+    return out.groupBy(F.col("event_outcome").alias("outcome")).agg(
+        F.count("*").alias("n_rows"),
+        F.count("source_ip").alias("n_ip"),
+        F.countDistinct("user_name").alias("n_users"),
+        F.min("user_name").alias("min_user"),
+        F.max("user_name").alias("max_user"),
+        F.count("user_effective_name").alias("n_eff"),
+        F.count("event_action").alias("n_action"),
+        F.sum("source_port").alias("sum_port"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("max_ts"),
+    )
+
+
 @register(
     "module_kafka",
     """

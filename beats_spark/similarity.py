@@ -300,7 +300,9 @@ def ivf_topk(
             )
             # n_cells rows: materialize so the assign/probe/broadcast
             # consumers don't each re-run the whole refinement lineage
-            .localCheckpoint()
+            # (eager=False: constructing the plan triggers no job; the tiny
+            # frame pins on first use)
+            .localCheckpoint(eager=False)
         )
 
     va = _assign_cells(v, cents, "neighbor_id")

@@ -764,3 +764,86 @@ def test_system_auth_golden(spark, log):
             assert row["message_out"] == exp["message"], exp
         else:
             assert row["message_out"] is None, (exp, row["message_out"])
+
+
+ES_SLOWLOG_FIELDS = [
+    "log.level", "log.logger", "process.thread.name", "service.name",
+    "elasticsearch.slowlog.logger", "elasticsearch.component",
+    "elasticsearch.node.name", "elasticsearch.node.id",
+    "elasticsearch.cluster.name", "elasticsearch.cluster.uuid",
+    "elasticsearch.index.name", "elasticsearch.index.id",
+    "elasticsearch.shard.id",
+    "elasticsearch.slowlog.took", "elasticsearch.slowlog.type",
+    "elasticsearch.slowlog.id", "elasticsearch.slowlog.routing",
+    "elasticsearch.slowlog.search_type", "elasticsearch.slowlog.total_hits",
+    "elasticsearch.slowlog.total_shards", "elasticsearch.slowlog.types",
+    "elasticsearch.slowlog.source", "elasticsearch.slowlog.source_query",
+    "elasticsearch.slowlog.extra_source",
+    "event.duration", "event.kind", "event.category", "event.type",
+    "event.dataset", "host.id",
+]
+
+
+def _slowlog_stats_ok(want, got):
+    # the reference's split processor turns 'a,b' into an array only when
+    # non-empty; json branches carry the raw JSON value (string or array).
+    # We emit the raw string; decode both spellings here.
+    if want is None:
+        return got is None
+    if isinstance(want, list):
+        if got is None:
+            return False
+        if got.startswith("["):
+            return json.loads(got) == want
+        return got.split(",") == want
+    return got == want
+
+
+@pytest.mark.parametrize("log", [
+    "test.log", "auditlog_index_indexing_slowlog.log", "slowlogs-json.log",
+    "es_index_indexing_slowlog-json.log", "es_index_search_slowlog-json.log",
+    "es74_index_indexing_slowlog-json.log", "es74_index_search_slowlog-json.log",
+    "es814_index_indexing_slowlog-json.log", "es814_index_search_slowlog-json.log",
+    "es_indexing_slowlog.800.log", "es_search_slowlog.800.log",
+    "es_slowlog.800.mixed.log",
+])
+def test_elasticsearch_slowlog_golden(spark, log):
+    from beats_spark.modules import elasticsearch_slowlog
+
+    lines, golden = _load_golden("elasticsearch", "slowlog", log)
+    # config/slowlog.yml multiline: ^(\[?YYYY-MM-DD|{) negate match=after
+    joined = _join_negate(lines, r"^(\[?[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, elasticsearch_slowlog, joined, timezone=tz)
+    _check(rows, golden, ES_SLOWLOG_FIELDS)
+    for i, (row, exp) in enumerate(zip(rows, golden)):
+        if any(k.startswith("error.") for k in exp):
+            continue
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], (i, exp["message"])
+        assert _slowlog_stats_ok(
+            exp.get("elasticsearch.slowlog.stats"),
+            row.get("elasticsearch_slowlog_stats"),
+        ), (i, exp.get("elasticsearch.slowlog.stats"),
+            row.get("elasticsearch_slowlog_stats"))
+
+
+NGINX_ERROR_FIELDS = [
+    "log.level", "process.pid", "process.thread.id",
+    "nginx.error.connection_id", "event.original",
+    "event.kind", "event.category", "event.type",
+]
+
+
+def test_nginx_error_golden(spark):
+    from beats_spark.modules import nginx_error
+
+    lines, golden = _load_golden("nginx", "error", "error.log")
+    # nginx error config multiline: ^YYYY/MM/DD negate match=after
+    joined = _join_negate(lines, r"^[0-9]{4}/[0-9]{2}/[0-9]{2}")
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, nginx_error, joined, timezone=tz)
+    _check(rows, golden, NGINX_ERROR_FIELDS)
+    for row, exp in zip(rows, golden):
+        if "message" in exp:
+            assert row["message_out"] == exp["message"], exp
