@@ -2501,3 +2501,383 @@ def nginx_error(df: DataFrame, field: str = "message",
 
 
 MODULES["nginx.error"] = nginx_error
+
+
+# -- elasticsearch.audit (elasticsearch/audit/ingest/pipeline*.yml) ----------
+
+ES_AUDIT_PT_DEFINITIONS = {
+    # verbatim from pipeline-plaintext.yml pattern_definitions (capture
+    # names only: '@timestamp' → 'timestamp'; '@' is not a column char)
+    "ES_TIMESTAMP": r"\[%{TIMESTAMP_ISO8601:elasticsearch.audit.timestamp}\]",
+    "ES_NODE_NAME": r"(\[%{DATA:elasticsearch.node.name}\])?",
+    "ES_AUDIT_LAYER": r"\[%{WORD:elasticsearch.audit.layer}\]",
+    "ES_AUDIT_EVENT_TYPE": r"\[%{WORD:elasticsearch.audit.event_type}\]",
+    "ES_AUDIT_ORIGIN_TYPE":
+        r"(origin_type\=\[%{WORD:elasticsearch.audit.origin.type}\])?",
+    "ES_AUDIT_ORIGIN_ADDRESS": r"(origin_address\=\[%{IPORHOST:source.ip}\])?",
+    "ES_AUDIT_PRINCIPAL": r"(principal\=\[%{DATA:user.name}\])?",
+    "ES_AUDIT_REALM": r"(realm\=\[%{WORD:elasticsearch.audit.realm}\])?",
+    # capture names that need post-processing (CSV split, sub_action
+    # re-join) get a pt. prefix so the raw capture can't shadow the
+    # processed output column in consumers that read both
+    "ES_AUDIT_ROLES": r"(roles\=\[%{DATA:pt.roles.csv}\])?",
+    "ES_AUDIT_ACTION":
+        r"(action\=\[%{DATA:pt.action}"
+        r"(\[%{DATA:pt.sub.action}\])?\])?",
+    "ES_AUDIT_URI": r"(uri=\[%{DATA:url.original}\])?",
+    "ES_AUDIT_URI_PARAMS":
+        r"(params=\[%{DATA:elasticsearch.audit.url.params}\])?",
+    "ES_AUDIT_INDICES": r"(indices\=\[%{DATA:pt.indices.csv}\])?",
+    "ES_AUDIT_REQUEST":
+        r"(request\=\[%{WORD:elasticsearch.audit.request.name}\])?",
+    "ES_AUDIT_REQUEST_BODY":
+        r"(request_body\=\[%{DATA:http.request.body.content}\])?",
+}
+
+ES_AUDIT_PT_PATTERNS = [
+    r"%{ES_TIMESTAMP}\s*%{ES_NODE_NAME}\s*%{ES_AUDIT_LAYER}\s*"
+    r"%{ES_AUDIT_EVENT_TYPE}\s*%{ES_AUDIT_ORIGIN_TYPE},?\s*"
+    r"%{ES_AUDIT_ORIGIN_ADDRESS},?\s*%{ES_AUDIT_PRINCIPAL},?\s*"
+    r"%{ES_AUDIT_REALM},?\s*%{ES_AUDIT_ROLES},?\s*%{ES_AUDIT_ACTION},?\s*"
+    r"%{ES_AUDIT_INDICES},?\s*%{ES_AUDIT_URI},?\s*%{ES_AUDIT_URI_PARAMS},?\s*"
+    r"%{ES_AUDIT_REQUEST},?\s*%{ES_AUDIT_REQUEST_BODY}$",
+]
+
+_ES_AUDIT_SCHEMA = (
+    "`@timestamp` string, timestamp string, type string, level string, "
+    "`node.id` string, `node.name` string, "
+    "`cluster.name` string, `cluster.uuid` string, "
+    "`event.type` string, `event.action` string, "
+    "`user.name` string, `user.realm` string, `user.roles` array<string>, "
+    "`user.run_as.name` string, `user.run_as.realm` string, "
+    "`origin.type` string, `origin.address` string, realm string, "
+    "`url.path` string, `url.query` string, "
+    "`request.method` string, `request.body` string, `request.id` string, "
+    "`request.name` string, action string, indices array<string>, "
+    "opaque_id string, `trace.id` string, `authentication.type` string, "
+    "change struct<disable:struct<user:struct<name:string>>, "
+    "enable:struct<user:struct<name:string>>>, "
+    "delete struct<user:struct<name:string>>, "
+    "put struct<user:struct<name:string, full_name:string, email:string>>, "
+    "invalidate struct<apikeys:struct<owned_by_authenticated_user:boolean, "
+    "user:struct<name:string, realm:string>>>"
+)
+
+# the painless outcome script's second if/else overwrites the first: the
+# final outcome is 'success' iff event.action (json branch only) is in this
+# list — plaintext events (event.action null) are always 'failure', even
+# access_granted ones. Faithfully restated; goldens pin it.
+_ES_AUDIT_SUCCESS = ["authentication_success", "access_granted",
+                     "run_as_granted", "connection_granted"]
+
+_ES_AUDIT_JSON_LAYERS = ["rest", "transport", "ip_filter",
+                         "security_config_change"]
+
+
+def elasticsearch_audit(df: DataFrame, field: str = "message",
+                        timezone: str | None = None) -> DataFrame:
+    """elasticsearch/audit: first-char branch between the 6.x plaintext
+    bracket-field grok (pipeline-plaintext.yml, verbatim bank) and the
+    JSON format (pipeline-json.yml): json → flat dotted keys + the nested
+    security_config_change payloads (change/delete/put/invalidate), drop of
+    non-audit lines, the origin.address → source.ip/port grok, the
+    user.name rename cascade, and url.original = path[?query].
+
+    Reference: elasticsearch/audit/ingest/{pipeline,pipeline-plaintext,
+    pipeline-json}.yml; goldens elasticsearch/audit/test/*-expected.json."""
+    raw = F.col(field)
+    is_json = raw.startswith("{")
+
+    out = P.grok(df, ES_AUDIT_PT_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=ES_AUDIT_PT_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    p = F.col("parsed")
+    out = out.withColumn("j", F.when(is_json, F.from_json(raw, _ES_AUDIT_SCHEMA)))
+    j = F.col("j")
+
+    # pipeline-json drop processors: explicit type must be 'audit'; typeless
+    # json must carry a known audit layer in event.type
+    out = out.filter(
+        ~is_json
+        | F.when(j["type"].isNotNull(), j["type"] == "audit")
+        .otherwise(j["event.type"].isin(*_ES_AUDIT_JSON_LAYERS))
+    )
+
+    out = out.withColumn(
+        "elasticsearch_audit_layer",
+        F.coalesce(p["elasticsearch_audit_layer"], j["event.type"]),
+    )
+    out = out.withColumn("elasticsearch_audit_event_type",
+                         p["elasticsearch_audit_event_type"])
+    out = out.withColumn("event_action", j["event.action"])
+    # set event.type = access only when the plaintext event_type exists
+    out = out.withColumn(
+        "event_type",
+        F.when(F.col("elasticsearch_audit_event_type").isNotNull(), "access"),
+    )
+    out = out.withColumn(
+        "elasticsearch_audit_origin_type",
+        F.coalesce(p["elasticsearch_audit_origin_type"], j["origin.type"]),
+    )
+    addr = j["origin.address"]
+    out = out.withColumn("source_address", addr)
+    out = out.withColumn(
+        "source_ip",
+        F.coalesce(
+            p["source_ip"],
+            # regexp_extract yields '' (not null) on miss — nullif so the
+            # coalesce falls through to the bare host:port pattern
+            F.nullif(F.regexp_extract(addr, r"^\[([^\]]+)\]:\d+$", 1),
+                     F.lit("")),
+            F.nullif(F.regexp_extract(addr, r"^(.+):\d+$", 1), F.lit("")),
+        ),
+    )
+    out = out.withColumn(
+        "source_port",
+        F.regexp_extract(addr, r":(\d+)$", 1).try_cast("int"),
+    )
+
+    # user.name rename cascade (pipeline-json.yml order)
+    out = out.withColumn(
+        "user_name",
+        F.coalesce(
+            p["user_name"],
+            j["change"]["disable"]["user"]["name"],
+            j["change"]["enable"]["user"]["name"],
+            j["delete"]["user"]["name"],
+            j["put"]["user"]["name"],
+            j["invalidate"]["apikeys"]["user"]["name"],
+            j["user.name"],
+        ),
+    )
+    out = out.withColumn("user_full_name", j["put"]["user"]["full_name"])
+    out = out.withColumn("user_email", j["put"]["user"]["email"])
+    out = out.withColumn("user_effective_name", j["user.run_as.name"])
+    out = out.withColumn("elasticsearch_audit_user_run_as_name",
+                         j["user.run_as.name"])
+    out = out.withColumn("elasticsearch_audit_user_run_as_realm",
+                         j["user.run_as.realm"])
+    out = out.withColumn(
+        "elasticsearch_audit_user_realm",
+        F.coalesce(j["invalidate"]["apikeys"]["user"]["realm"],
+                   j["user.realm"]),
+    )
+    out = out.withColumn(
+        "elasticsearch_audit_invalidate_apikeys_owned_by_authenticated_user",
+        j["invalidate"]["apikeys"]["owned_by_authenticated_user"],
+    )
+    out = out.withColumn(
+        "elasticsearch_audit_user_roles",
+        F.coalesce(
+            F.when(p["pt_roles_csv"].isNotNull(),
+                   F.split(p["pt_roles_csv"], ",")),
+            j["user.roles"],
+        ),
+    )
+    out = out.withColumn(
+        "elasticsearch_audit_realm",
+        F.coalesce(p["elasticsearch_audit_realm"], j["realm"]),
+    )
+    # plaintext action[sub_action] re-join (the painless += script)
+    out = out.withColumn(
+        "elasticsearch_audit_action",
+        F.coalesce(
+            F.when(
+                p["pt_sub_action"].isNotNull(),
+                F.concat(p["pt_action"], F.lit("["),
+                         p["pt_sub_action"], F.lit("]")),
+            ).otherwise(p["pt_action"]),
+            j["action"],
+        ),
+    )
+    out = out.withColumn(
+        "elasticsearch_audit_indices",
+        F.coalesce(
+            F.when(p["pt_indices_csv"].isNotNull(),
+                   F.split(p["pt_indices_csv"], ",")),
+            j["indices"],
+        ),
+    )
+    out = out.withColumn("elasticsearch_audit_opaque_id", j["opaque_id"])
+    out = out.withColumn("elasticsearch_audit_request_id", j["request.id"])
+    out = out.withColumn("http_request_id", j["request.id"])
+    out = out.withColumn(
+        "elasticsearch_audit_request_name",
+        F.coalesce(p["elasticsearch_audit_request_name"], j["request.name"]),
+    )
+    out = out.withColumn("http_request_method", j["request.method"])
+    out = out.withColumn(
+        "http_request_body_content",
+        F.coalesce(p["http_request_body_content"], j["request.body"]),
+    )
+    out = out.withColumn("elasticsearch_audit_url_params",
+                         p["elasticsearch_audit_url_params"])
+    out = out.withColumn(
+        "url_original",
+        F.coalesce(
+            p["url_original"],
+            F.when(j["url.query"].isNotNull(),
+                   F.concat(j["url.path"], F.lit("?"), j["url.query"]))
+            .otherwise(j["url.path"]),
+        ),
+    )
+    out = out.withColumn("elasticsearch_audit_authentication_type",
+                         j["authentication.type"])
+    out = out.withColumn("elasticsearch_node_id", j["node.id"])
+    out = out.withColumn(
+        "elasticsearch_node_name",
+        F.coalesce(p["elasticsearch_node_name"], j["node.name"]),
+    )
+    out = out.withColumn("elasticsearch_cluster_name", j["cluster.name"])
+    out = out.withColumn("elasticsearch_cluster_uuid", j["cluster.uuid"])
+    out = out.withColumn("trace_id", j["trace.id"])
+    out = out.withColumn("log_level", j["level"])
+
+    out = out.withColumn(
+        "event_outcome",
+        F.when(F.col("event_action").isin(*_ES_AUDIT_SUCCESS), "success")
+        .otherwise("failure"),
+    )
+    out = out.withColumn(
+        "related_user",
+        F.filter(
+            F.array("user_name", "user_effective_name"),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    out = out.withColumn(
+        "related_user",
+        F.when(F.size("related_user") > 0, F.col("related_user")),
+    )
+    # host.id only: no reference golden ever records host.name for this
+    # fileset, so emitting it would diverge from every -expected.json
+    out = out.withColumn("host_id", F.col("elasticsearch_node_id"))
+
+    # dates: plaintext + zoneless json stamps shift by event.timezone; an
+    # explicit offset in the string wins (ES date semantics)
+    json_raw_ts = F.coalesce(j["@timestamp"], j["timestamp"])
+    ts_str = F.coalesce(p["elasticsearch_audit_timestamp"], json_raw_ts)
+    no_zone = F.try_to_timestamp(ts_str, F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS"))
+    if timezone:
+        no_zone = F.to_utc_timestamp(no_zone, timezone)
+    zoned = F.coalesce(*[
+        F.try_to_timestamp(ts_str, F.lit(fmt))
+        for fmt in ("yyyy-MM-dd'T'HH:mm:ss,SSSXX",
+                    "yyyy-MM-dd'T'HH:mm:ss,SSSXXX",
+                    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    ])
+    out = out.withColumn("timestamp", F.coalesce(no_zone, zoned))
+
+    out = out.withColumn("message_out", raw)
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.lit("database"))
+    out = out.withColumn("event_dataset", F.lit("elasticsearch.audit"))
+    return out.drop("j")
+
+
+MODULES["elasticsearch.audit"] = elasticsearch_audit
+
+
+# -- kibana.audit (kibana/audit/ingest/pipeline-json.yml) --------------------
+
+_KIBANA_AUDIT_SCHEMA = (
+    "`@timestamp` string, message string, "
+    "log struct<level:string, logger:string>, "
+    "process struct<pid:int>, "
+    "event struct<action:string, outcome:string>, "
+    "http struct<request:struct<method:string>>, "
+    "url struct<domain:string, path:string, port:int, scheme:string>, "
+    "user struct<name:string, roles:array<string>>, "
+    "client struct<ip:string>, "
+    "kibana struct<space_id:string, authentication_provider:string, "
+    "authentication_type:string, authentication_realm:string, "
+    "lookup_realm:string, saved_object:struct<id:string, type:string, "
+    "name:string>>, "
+    "labels struct<application:string>, "
+    "service struct<node:struct<roles:array<string>>>, "
+    "trace struct<id:string>, transaction struct<id:string>"
+)
+
+
+def kibana_audit(df: DataFrame, field: str = "message",
+                 timezone: str | None = None) -> DataFrame:
+    """kibana/audit: ECS audit JSON merged to root (pipeline-json.yml's
+    painless merge restated as a typed from_json flatten), event.kind set
+    and user.name appended to related.user (pipeline.yml). event.category
+    / event.type are scalar strings in kibana 7.11 and arrays from 7.13 —
+    the merge keeps the log's own shape, so both spellings are preserved
+    (array parse first, raw scalar fallback).
+
+    Reference: kibana/audit/ingest/{pipeline,pipeline-json}.yml; goldens
+    kibana/audit/test/test-audit-{711,713,814,890}.log-expected.json."""
+    raw = F.col(field)
+    out = df.withColumn("j", F.from_json(raw, _KIBANA_AUDIT_SCHEMA))
+    j = F.col("j")
+
+    def ecs_str_array(path: str) -> Column:
+        # array in >=7.13 logs, bare scalar in 7.11 — a typed engine can't
+        # vary a column's type per row, so the scalar spelling normalizes
+        # to a single-element array (the modern ECS shape); the golden
+        # test treats scalar-want vs uniform-array-got as equal
+        val = F.get_json_object(raw, path)
+        arr = F.from_json(val, "array<string>")
+        return F.when(arr.isNotNull(), arr).when(
+            val.isNotNull(), F.array(val)
+        )
+
+    out = out.withColumn("event_action", j["event"]["action"])
+    out = out.withColumn("event_outcome", j["event"]["outcome"])
+    out = out.withColumn("event_category", ecs_str_array("$.event.category"))
+    out = out.withColumn("event_type", ecs_str_array("$.event.type"))
+    out = out.withColumn("log_level", j["log"]["level"])
+    out = out.withColumn("log_logger", j["log"]["logger"])
+    out = out.withColumn("process_pid", j["process"]["pid"])
+    out = out.withColumn("http_request_method",
+                         j["http"]["request"]["method"])
+    out = out.withColumn("url_domain", j["url"]["domain"])
+    out = out.withColumn("url_path", j["url"]["path"])
+    out = out.withColumn("url_port", j["url"]["port"])
+    out = out.withColumn("url_scheme", j["url"]["scheme"])
+    out = out.withColumn("client_ip", j["client"]["ip"])
+    out = out.withColumn("user_name", j["user"]["name"])
+    out = out.withColumn("user_roles", j["user"]["roles"])
+    out = out.withColumn("kibana_space_id", j["kibana"]["space_id"])
+    out = out.withColumn("kibana_authentication_provider",
+                         j["kibana"]["authentication_provider"])
+    out = out.withColumn("kibana_authentication_type",
+                         j["kibana"]["authentication_type"])
+    out = out.withColumn("kibana_authentication_realm",
+                         j["kibana"]["authentication_realm"])
+    out = out.withColumn("kibana_lookup_realm", j["kibana"]["lookup_realm"])
+    out = out.withColumn("kibana_saved_object_id",
+                         j["kibana"]["saved_object"]["id"])
+    out = out.withColumn("kibana_saved_object_type",
+                         j["kibana"]["saved_object"]["type"])
+    out = out.withColumn("kibana_saved_object_name",
+                         j["kibana"]["saved_object"]["name"])
+    out = out.withColumn("labels_application", j["labels"]["application"])
+    out = out.withColumn("service_node_roles",
+                         j["service"]["node"]["roles"])
+    out = out.withColumn("trace_id", j["trace"]["id"])
+    out = out.withColumn("transaction_id", j["transaction"]["id"])
+    out = out.withColumn("message_out", j["message"])
+    out = out.withColumn(
+        "related_user",
+        F.when(j["user"]["name"].isNotNull(), F.array(j["user"]["name"])),
+    )
+    out = out.withColumn(
+        "timestamp",
+        F.coalesce(*[
+            F.try_to_timestamp(j["@timestamp"], F.lit(fmt))
+            for fmt in ("yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+                        "yyyy-MM-dd'T'HH:mm:ss.SSSXX")
+        ]),
+    )
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_dataset", F.lit("kibana.audit"))
+    return out.drop("j")
+
+
+MODULES["kibana.audit"] = kibana_audit
+

@@ -847,3 +847,85 @@ def test_nginx_error_golden(spark):
     for row, exp in zip(rows, golden):
         if "message" in exp:
             assert row["message_out"] == exp["message"], exp
+
+
+ES_AUDIT_FIELDS = [
+    "elasticsearch.audit.layer", "elasticsearch.audit.event_type",
+    "elasticsearch.audit.origin.type", "elasticsearch.audit.realm",
+    "elasticsearch.audit.user.realm", "elasticsearch.audit.user.roles",
+    "elasticsearch.audit.user.run_as.name",
+    "elasticsearch.audit.user.run_as.realm",
+    "elasticsearch.audit.action", "elasticsearch.audit.indices",
+    "elasticsearch.audit.opaque_id", "elasticsearch.audit.request.id",
+    "elasticsearch.audit.request.name", "elasticsearch.audit.url.params",
+    "elasticsearch.audit.authentication.type",
+    "elasticsearch.audit.invalidate.apikeys.owned_by_authenticated_user",
+    "elasticsearch.node.id", "elasticsearch.node.name",
+    "elasticsearch.cluster.name", "elasticsearch.cluster.uuid",
+    "event.action", "event.outcome", "event.type",
+    "event.kind", "event.category", "event.dataset",
+    "source.address", "source.ip", "source.port",
+    "user.name", "user.full_name", "user.email", "user.effective.name",
+    "related.user", "url.original",
+    "http.request.method", "http.request.id", "http.request.body.content",
+    "trace.id", "log.level", "host.id", "host.name", "message",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "test-access.log", "test-audit.log", "test-audit-711.log",
+    "test-audit-730.log", "test-audit-761.log", "test-audit-800.log",
+    "test-audit-800.mixed.log", "test-audit-docker.log",
+])
+def test_elasticsearch_audit_golden(spark, log):
+    from beats_spark.modules import elasticsearch_audit
+
+    lines, golden = _load_golden("elasticsearch", "audit", log)
+    # drop-rule lines (non-audit json) have no golden entry
+    golden = [e for e in golden if not any(
+        k.startswith("error.") for k in e)]
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, elasticsearch_audit, lines, timezone=tz)
+    _check(rows, golden, ES_AUDIT_FIELDS)
+
+
+KIBANA_AUDIT_FIELDS = [
+    "event.action", "event.outcome", "event.dataset", "event.kind",
+    "kibana.saved_object.id", "kibana.saved_object.type",
+    "kibana.saved_object.name", "kibana.space_id",
+    "kibana.authentication_provider", "kibana.authentication_type",
+    "kibana.authentication_realm", "kibana.lookup_realm",
+    "labels.application", "log.level", "log.logger", "process.pid",
+    "service.node.roles", "trace.id", "transaction.id",
+    "http.request.method", "url.domain", "url.path", "url.port",
+    "url.scheme", "client.ip", "user.name", "user.roles", "related.user",
+]
+
+
+def _ecs_shape_ok(want, got):
+    """kibana 7.11 writes event.category/type as a bare scalar; the typed
+    engine normalizes to a single-element array (module docstring)."""
+    if want is None:
+        return got is None
+    if isinstance(want, list):
+        return got is not None and sorted(got) == sorted(want)
+    return got == [want]
+
+
+@pytest.mark.parametrize("log", [
+    "test-audit-711.log", "test-audit-713.log", "test-audit-814.log",
+    "test-audit-890.log",
+])
+def test_kibana_audit_golden(spark, log):
+    from beats_spark.modules import kibana_audit
+
+    lines, golden = _load_golden("kibana", "audit", log)
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, kibana_audit, lines, timezone=tz)
+    _check(rows, golden, KIBANA_AUDIT_FIELDS)
+    for i, (row, exp) in enumerate(zip(rows, golden)):
+        assert row["message_out"] == exp["message"], i
+        assert _ecs_shape_ok(exp.get("event.category"),
+                             row.get("event_category")), (i, "category")
+        assert _ecs_shape_ok(exp.get("event.type"),
+                             row.get("event_type")), (i, "type")
