@@ -2881,3 +2881,203 @@ def kibana_audit(df: DataFrame, field: str = "message",
 
 MODULES["kibana.audit"] = kibana_audit
 
+
+
+# -- iis.error (iis/error/ingest/pipeline.yml) -------------------------------
+
+IIS_ERROR_PATTERNS = [
+    # 14-field HTTP-API layout (extra streamid column before sc-status)
+    # first, then the 13-field layout — reference pattern order, verbatim
+    # except NUMBER for the port captures (reference uses IPORHOST:long on a
+    # numeric port; equivalent on any valid input)
+    r"%{TIMESTAMP_ISO8601:iis.error.time} %{IPORHOST:source.address} "
+    r"%{NUMBER:source.port:long} %{IPORHOST:destination.address} "
+    r"%{NUMBER:destination.port:long} (?:HTTP/%{NUMBER:http.version}|-) "
+    r"(?:%{WORD:http.request.method}|-) (?:-|%{NOTSPACE:tmp.url.orig}) "
+    r"(?:%{NUMBER}|-) (?:%{NUMBER:http.response.status_code:long}|-) "
+    r"(?:%{NUMBER}|-) (?:-|%{NOTSPACE:iis.error.reason_phrase}) "
+    r"(?:-|%{NOTSPACE:iis.error.queue_name})",
+    r"%{TIMESTAMP_ISO8601:iis.error.time} %{IPORHOST:source.address} "
+    r"%{NUMBER:source.port:long} %{IPORHOST:destination.address} "
+    r"%{NUMBER:destination.port:long} (?:HTTP/%{NUMBER:http.version}|-) "
+    r"(?:%{WORD:http.request.method}|-) (?:-|%{NOTSPACE:tmp.url.orig}) "
+    r"(?:%{NUMBER:http.response.status_code:long}|-) (?:%{NUMBER}|-) "
+    r"(?:-|%{NOTSPACE:iis.error.reason_phrase}) "
+    r"(?:-|%{NOTSPACE:iis.error.queue_name})",
+]
+
+
+def iis_error(df: DataFrame, field: str = "message",
+              timezone: str | None = None) -> DataFrame:
+    """iis/error: two-pattern grok bank (streamid layout first), uri_parts
+    over cs-uri, %zone-id stripping into source/destination.ip, conditional
+    network category/connection type when both ips parsed, status-code
+    outcome. uri_parts restated to the goldens' visible contract: a
+    backslash in the uri fails the parse (url.original only); url.path is
+    the pre-'?' prefix, url.query the remainder, url.extension only for a
+    '/'-delimited final segment with a dot ('12.2.1' and '*' get path but
+    no extension, per iis_error_url.log-expected.json). geoip scoped out
+    (module docstring).
+
+    Reference: iis/error/ingest/pipeline.yml; goldens iis/error/test/."""
+    out = P.grok(df, IIS_ERROR_PATTERNS, field=field, target_prefix="parsed",
+                 flag_failures=False)
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    url = p["tmp_url_orig"]
+    out = out.withColumn("url_original", url)
+    ok = url.isNotNull() & ~url.contains("\\")
+    path = F.when(ok, F.split(url, r"\?", 2)[0])
+    out = out.withColumn("url_path", path)
+    out = out.withColumn(
+        "url_query",
+        F.when(ok & url.contains("?"), F.split(url, r"\?", 2)[1]),
+    )
+    out = out.withColumn(
+        "url_extension",
+        F.nullif(F.regexp_extract(path, r"/[^/]*\.([^./]+)$", 1), F.lit("")),
+    )
+    out = out.withColumn(
+        "timestamp",
+        F.to_utc_timestamp(
+            F.try_to_timestamp(p["iis_error_time"],
+                               F.lit("yyyy-MM-dd HH:mm:ss")),
+            F.lit(timezone or "UTC"),
+        ),
+    )
+    src = p["source_address"]
+    dst = p["destination_address"]
+    s_ip = F.when(src.isNotNull(), F.split(src, "%", 2)[0])
+    d_ip = F.when(dst.isNotNull(), F.split(dst, "%", 2)[0])
+    out = out.withColumn("source_ip", s_ip)
+    out = out.withColumn("destination_ip", d_ip)
+    both = s_ip.isNotNull() & d_ip.isNotNull()
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_category",
+        F.when(both, F.array(F.lit("web"), F.lit("network")))
+        .otherwise(F.array(F.lit("web"))),
+    )
+    out = out.withColumn("event_type",
+                         F.when(both, F.array(F.lit("connection"))))
+    out = out.withColumn(
+        "related_ip",
+        F.array_compact(F.array(F.col("source_ip"),
+                                F.col("destination_ip"))),
+    )
+    status = p["http_response_status_code"]
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    return out
+
+
+MODULES["iis.error"] = iis_error
+
+
+# -- logstash.slowlog (logstash/slowlog/ingest/pipeline*.yml) ----------------
+
+LOGSTASH_SLOWLOG_PT_PATTERNS = [
+    r"\[%{TIMESTAMP_ISO8601:logstash.slowlog.timestamp}\]"
+    r"\[%{LOGSTASH_LOGLEVEL:log.level}\s?\]"
+    r"\[%{LOGSTASH_CLASS_MODULE:logstash.slowlog.module}\] "
+    r"%{GREEDYDATA:message}",
+]
+
+LOGSTASH_SLOWLOG_DEFINITIONS = {
+    "LOGSTASH_CLASS_MODULE": r"[\w\.]+\s*",
+    "LOGSTASH_LOGLEVEL": r"INFO|ERROR|DEBUG|FATAL|WARN|TRACE",
+}
+
+LOGSTASH_SLOWLOG_EVENT_PATTERNS = [
+    r"{:plugin_params=>%{GREEDYDATA:logstash.slowlog.plugin_params}, "
+    r":took_in_nanos=>%{NUMBER:event.duration}, "
+    r":took_in_millis=>%{NUMBER:logstash.slowlog.took_in_millis}, "
+    r":event=>%{GREEDYDATA:logstash.slowlog.event}}",
+]
+
+_LOGSTASH_SL_PLUGIN_PATTERN = (
+    r"^slowlog\.logstash\.(\w+)\.(\w+)"
+)
+
+_LOGSTASH_SL_JSON_SCHEMA = (
+    "level string, loggerName string, timeMillis long, thread string, "
+    "logEvent struct<message:string, plugin_params:map<string,string>, "
+    "took_in_nanos:long, took_in_millis:long, event:string>"
+)
+
+
+def logstash_slowlog(df: DataFrame, field: str = "message",
+                     timezone: str | None = None) -> DataFrame:
+    """logstash/slowlog: first-char branch between the plaintext bracket
+    format (pipeline-plaintext.yml — verbatim grok bank incl. the ruby-hash
+    :plugin_params re-grok of the message) and the JSON log4j2 layout
+    (pipeline-json.yml: json → logstash.slowlog, timeMillis epoch date,
+    logEvent.* renames). plugin_type/plugin_name grokked out of the
+    loggerName; FATAL/ERROR → event.type 'error' (scalar set, both
+    branches). JSON plugin_params lands in plugin_params_object as a
+    map<string,string> (the reference keeps the raw object).
+
+    Reference: logstash/slowlog/ingest/{pipeline,pipeline-plaintext,
+    pipeline-json}.yml; goldens logstash/slowlog/test/*-expected.json."""
+    raw = F.col(field)
+    is_json = raw.startswith("{")
+
+    out = P.grok(df, LOGSTASH_SLOWLOG_PT_PATTERNS, field=field,
+                 target_prefix="parsed", flag_failures=False,
+                 pattern_definitions=LOGSTASH_SLOWLOG_DEFINITIONS)
+    out = out.withColumn("parsed", F.when(~is_json, F.col("parsed")))
+    out = P.grok(out, LOGSTASH_SLOWLOG_EVENT_PATTERNS,
+                 field="parsed.message", target_prefix="ev",
+                 flag_failures=False)
+    out = out.withColumn("ev", F.when(~is_json, F.col("ev")))
+    p, ev = F.col("parsed"), F.col("ev")
+    out = out.withColumn(
+        "j", F.when(is_json, F.from_json(raw, _LOGSTASH_SL_JSON_SCHEMA)))
+    j = F.col("j")
+
+    module = F.coalesce(p["logstash_slowlog_module"], j["loggerName"])
+    out = out.withColumn("logstash_slowlog_module", module)
+    out = out.withColumn(
+        "logstash_slowlog_plugin_type",
+        F.regexp_extract(module, _LOGSTASH_SL_PLUGIN_PATTERN, 1))
+    out = out.withColumn(
+        "logstash_slowlog_plugin_name",
+        F.regexp_extract(module, _LOGSTASH_SL_PLUGIN_PATTERN, 2))
+    out = out.withColumn("log_level", F.coalesce(p["log_level"], j["level"]))
+    out = out.withColumn(
+        "event_duration",
+        F.coalesce(ev["event_duration"].cast("long"),
+                   j["logEvent"]["took_in_nanos"]))
+    out = out.withColumn(
+        "logstash_slowlog_took_in_millis",
+        F.coalesce(ev["logstash_slowlog_took_in_millis"].cast("long"),
+                   j["logEvent"]["took_in_millis"]))
+    out = out.withColumn(
+        "logstash_slowlog_plugin_params",
+        ev["logstash_slowlog_plugin_params"])
+    out = out.withColumn("logstash_slowlog_plugin_params_object",
+                         j["logEvent"]["plugin_params"])
+    out = out.withColumn(
+        "logstash_slowlog_event",
+        F.coalesce(ev["logstash_slowlog_event"], j["logEvent"]["event"]))
+    out = out.withColumn("logstash_slowlog_thread", j["thread"])
+    pt_ts = F.try_to_timestamp(p["logstash_slowlog_timestamp"],
+                               F.lit("yyyy-MM-dd'T'HH:mm:ss,SSS"))
+    if timezone:
+        pt_ts = F.to_utc_timestamp(pt_ts, timezone)
+    out = out.withColumn(
+        "timestamp", F.coalesce(pt_ts, F.timestamp_millis(j["timeMillis"])))
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(F.col("log_level").isin("ERROR", "FATAL"), "error")
+        .when(F.col("log_level").isNotNull(), "info"),
+    )
+    out = out.withColumn("event_dataset", F.lit("logstash.slowlog"))
+    return out.drop("j")
+
+
+MODULES["logstash.slowlog"] = logstash_slowlog

@@ -929,3 +929,52 @@ def test_kibana_audit_golden(spark, log):
                              row.get("event_category")), (i, "category")
         assert _ecs_shape_ok(exp.get("event.type"),
                              row.get("event_type")), (i, "type")
+
+
+IIS_ERROR_FIELDS = [
+    "iis.error.reason_phrase", "iis.error.queue_name",
+    "http.request.method", "http.version", "http.response.status_code",
+    "source.address", "source.port", "source.ip",
+    "destination.address", "destination.port", "destination.ip",
+    "url.original", "url.path", "url.query", "url.extension",
+    "event.kind", "event.category", "event.type", "event.outcome",
+    "related.ip", "event.original",
+]
+
+
+@pytest.mark.parametrize("log", [
+    "test.log", "ipv6_zone_id.log", "iis_error_url.log",
+])
+def test_iis_error_golden(spark, log):
+    from beats_spark.modules import iis_error
+
+    lines, golden = _load_golden("iis", "error", log)
+    # fileset config exclude_lines: ^# (the HTTP-API file header)
+    lines = [ln for ln in lines if not ln.startswith("#")]
+    rows = _run(spark, iis_error, lines)
+    _check(rows, golden, IIS_ERROR_FIELDS)
+
+
+LOGSTASH_SLOWLOG_FIELDS = [
+    "log.level", "event.kind", "event.type", "event.duration",
+    "logstash.slowlog.module", "logstash.slowlog.plugin_type",
+    "logstash.slowlog.plugin_name", "logstash.slowlog.took_in_millis",
+    "logstash.slowlog.plugin_params", "logstash.slowlog.event",
+    "logstash.slowlog.thread",
+]
+
+
+@pytest.mark.parametrize("log", ["slowlog-plain.log", "slowlog-json.log"])
+def test_logstash_slowlog_golden(spark, log):
+    from beats_spark.modules import logstash_slowlog
+
+    lines, golden = _load_golden("logstash", "slowlog", log)
+    tz = golden[0].get("event.timezone") if golden else None
+    rows = _run(spark, logstash_slowlog, lines, timezone=tz)
+    _check(rows, golden, LOGSTASH_SLOWLOG_FIELDS)
+    for row, exp in zip(rows, golden):
+        # map-typed plugin_params_object: golden stores flattened keys
+        obj = row.get("logstash_slowlog_plugin_params_object") or {}
+        for k, v in exp.items():
+            if k.startswith("logstash.slowlog.plugin_params_object."):
+                assert obj.get(k.rsplit(".", 1)[1]) == v, k

@@ -86,6 +86,30 @@ def test_decode_json_fields(tdf):
     assert row.props["k"] is not None and row.props["k"].isdigit()
 
 
+def test_go_layout_to_java():
+    # bare '2' is Go's unpadded day-of-month; it must survive the '2006'/'02'
+    # rewrites and map to 'd' (redis layout regression, ADVICE r2)
+    assert P.go_layout_to_java("2 Jan 2006 15:04:05.999") == \
+        "d MMM yyyy HH:mm:ss.SSS"
+    assert P.go_layout_to_java("02 Jan 2006 15:04:05") == "dd MMM yyyy HH:mm:ss"
+    assert P.go_layout_to_java("2006-01-02T15:04:05Z07:00") == \
+        "yyyy-MM-dd'T'HH:mm:ssXXX"
+    assert P.go_layout_to_java("Jan _2 15:04:05") == "MMM d HH:mm:ss"
+
+
+def test_timestamp_unpadded_day(spark):
+    # day-2 dates through the redis layout: '2 Jan' (unpadded) must parse to
+    # day 2, padded '27 Dec' unaffected
+    df = spark.createDataFrame(
+        [("2 Jan 2019 01:02:03.004",), ("27 Dec 2018 11:19:18.874",)],
+        "raw string",
+    )
+    out = P.timestamp(df, "raw", ["2 Jan 2006 15:04:05.999"], target="t")
+    rows = out.select("t").collect()
+    assert (rows[0].t.day, rows[0].t.month) == (2, 1)
+    assert (rows[1].t.day, rows[1].t.hour) == (27, 11)
+
+
 def test_timestamp_parse(spark):
     df = spark.createDataFrame(
         [("2024-03-05 06:07:08",), ("1709618828",), ("bogus",)], "raw string"
