@@ -25,7 +25,7 @@ any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from beats_spark.grok import BUILTIN_PATTERNS
@@ -3081,3 +3081,237 @@ def logstash_slowlog(df: DataFrame, field: str = "message",
 
 
 MODULES["logstash.slowlog"] = logstash_slowlog
+
+
+# -- nginx.ingress_controller (nginx/ingress_controller/ingest/pipeline.yml) -
+
+NGINX_INGRESS_PATTERNS = [
+    r'(%{NGINX_HOST} )?"?(?:%{NGINX_ADDRESS_LIST:nginx.ingress_controller.remote_ip_list}'
+    r"|%{NOTSPACE:source.address}) - (-|%{DATA:user.name}) "
+    r"\[%{HTTPDATE:nginx.ingress_controller.time}\] "
+    r"\"%{DATA:nginx.ingress_controller.info}\" "
+    r"%{NUMBER:http.response.status_code:long} "
+    r"%{NUMBER:http.response.body.bytes:long} "
+    r'"(-|%{DATA:http.request.referrer})" "(-|%{DATA:user_agent.original})" '
+    r"%{NUMBER:nginx.ingress_controller.http.request.length:long} "
+    r"%{NUMBER:nginx.ingress_controller.http.request.time:double} "
+    r"\[%{DATA:nginx.ingress_controller.upstream.name}\] "
+    r"\[%{DATA:nginx.ingress_controller.upstream.alternative_name}\] "
+    r"(%{UPSTREAM_ADDRESS_LIST:nginx.ingress_controller.upstream_address_list}|-) "
+    r"(%{UPSTREAM_RESPONSE_LENGTH_LIST:nginx.ingress_controller.upstream.response.length_list}|-) "
+    r"(-|%{UPSTREAM_RESPONSE_TIME_LIST:nginx.ingress_controller.upstream.response.time_list}) "
+    r"(-|%{UPSTREAM_RESPONSE_STATUS_CODE_LIST:nginx.ingress_controller.upstream.response.status_code_list}) "
+    r"%{GREEDYDATA:nginx.ingress_controller.http.request.id}",
+]
+
+NGINX_INGRESS_DEFINITIONS = {
+    "NGINX_HOST":
+        r"(?:%{IP:destination.ip}|%{NGINX_NOTSEPARATOR:destination.domain})"
+        r"(:%{NUMBER:destination.port})?",
+    "NGINX_NOTSEPARATOR": r"[^\t ,:]+",
+    "NGINX_ADDRESS_LIST": r'(?:%{IP}|%{WORD})("?,?\s*(?:%{IP}|%{WORD}))*',
+    "UPSTREAM_ADDRESS_LIST":
+        r"(unix:%{NOTSPACE}|(?:%{IP}(:%{NUMBER})?)"
+        r'("?,?\s*(?:%{IP}(:%{NUMBER})?))*)',
+    "UPSTREAM_RESPONSE_LENGTH_LIST": r'(?:%{NUMBER})("?,?\s*(?:%{NUMBER}))*',
+    "UPSTREAM_RESPONSE_TIME_LIST":
+        r"(%{NUMBER}|(-|(?:%{NUMBER})),\s+(-|(?:%{NUMBER}))"
+        r'("?,?\s*(-|(?:%{NUMBER})))*)',
+    "UPSTREAM_RESPONSE_STATUS_CODE_LIST":
+        r"(%{NUMBER}|(-|(?:%{NUMBER})),\s+(-|(?:%{NUMBER}))"
+        r'("?,?\s*(-|(?:%{NUMBER})))*)',
+    "IP": r"(?:\[?%{IPV6}\]?|%{IPV4})",
+}
+
+NGINX_INGRESS_UPSTREAM_ADDR_PATTERNS = [
+    r"^%{IPV4:nginx.ingress_controller.upstream.ip}:"
+    r"%{NUMBER:nginx.ingress_controller.upstream.port}$",
+    r"^\[%{IPV6:nginx.ingress_controller.upstream.ip}\]:"
+    r"%{NUMBER:nginx.ingress_controller.upstream.port}$",
+    r"^%{IPV6NOCOMPRESS:nginx.ingress_controller.upstream.ip}:"
+    r"%{NUMBER:nginx.ingress_controller.upstream.port}$",
+    r"^%{IPV6:nginx.ingress_controller.upstream.ip}%{IPV6PORTSEP}"
+    r"%{NUMBER:nginx.ingress_controller.upstream.port}$",
+]
+
+NGINX_INGRESS_UPSTREAM_ADDR_DEFINITIONS = {
+    "IPV6NOCOMPRESS": r"([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}",
+    "IPV6PORTSEP": r"(?: port |[p#.])",
+}
+
+
+def _split_list(col: Column) -> Column:
+    """The reference's split processor on '\"?,?\\s+' (quotes stripped)."""
+    return F.split(F.regexp_replace(col, '"', ""), r",?\s+")
+
+
+def nginx_ingress_controller(df: DataFrame, field: str = "message",
+                             timezone: str | None = None) -> DataFrame:
+    """nginx/ingress_controller: the access-log grok extended with upstream
+    list fields (verbatim bank incl. the list pattern_definitions), the
+    four painless list-fold scalars restated as array expressions
+    (response.length = last element, null if any element is non-numeric;
+    response.time = float sum of non-'-'; response.status_code = last
+    non-'-'; upstream.address = last element), the 5-pattern upstream
+    address re-grok (invalid IPv6 → no ip/port, matching the reference's
+    grok-miss), first-public-ip source selection, and uri_parts with
+    percent-decoded url.path. geoip/user_agent derivation scoped out
+    (module docstring).
+
+    Reference: nginx/ingress_controller/ingest/pipeline.yml; goldens
+    nginx/ingress_controller/test/test.log-expected.json."""
+    out = P.grok(df, NGINX_INGRESS_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=NGINX_INGRESS_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    pre = "nginx_ingress_controller_"
+
+    # info → method/url/version (same sub-grok as nginx.access)
+    info = p[pre + "info"]
+    method = F.regexp_extract(info, r"^(\S+) ", 1)
+    out = out.withColumn("http_request_method",
+                         F.when(method != "", method))
+    out = out.withColumn(
+        "url_original",
+        F.when(info.rlike(r"^\S+ \S+ HTTP/"),
+               F.regexp_extract(info, r"^\S+ (\S+) ", 1)),
+    )
+    out = out.withColumn(
+        "http_version",
+        F.when(info.contains(" HTTP/"),
+               F.regexp_extract(info, r" HTTP/(\S+)$", 1)),
+    )
+    # uri_parts: path is percent-DECODED ('+' preserved — only %XX decode),
+    # query raw, extension from the decoded path's last '/'-segment
+    url = F.col("url_original")
+    raw_path = F.split(url, r"\?", 2)[0]
+    path = F.coalesce(
+        F.try_url_decode(F.replace(raw_path, F.lit("+"), F.lit("%2B"))),
+        raw_path,
+    )
+    out = out.withColumn("url_path", path)
+    out = out.withColumn(
+        "url_query", F.when(url.contains("?"), F.split(url, r"\?", 2)[1]))
+    out = out.withColumn(
+        "url_extension",
+        F.nullif(F.regexp_extract(path, r"/[^/]*\.([^./]+)$", 1), F.lit("")),
+    )
+
+    # list splits
+    for src_name, col_name in [
+        (pre + "remote_ip_list", "remote_ip_list"),
+        (pre + "upstream_address_list", "upstream_address_list"),
+        (pre + "upstream_response_length_list", "upstream_response_length_list"),
+        (pre + "upstream_response_time_list", "upstream_response_time_list"),
+        (pre + "upstream_response_status_code_list",
+         "upstream_response_status_code_list"),
+    ]:
+        out = out.withColumn(
+            col_name, F.when(p[src_name].isNotNull(), _split_list(p[src_name]))
+        )
+
+    # painless fold scalars (log order, not the golden-sorted order)
+    lens = F.col("upstream_response_length_list")
+    out = out.withColumn(
+        "nginx_ingress_controller_upstream_response_length",
+        F.when(
+            lens.isNotNull()
+            & ~F.exists(lens, lambda x: x.try_cast("int").isNull()),
+            F.get(F.reverse(lens), 0).cast("int"),
+        ),
+    )
+    times = F.col("upstream_response_time_list")
+    out = out.withColumn(
+        "nginx_ingress_controller_upstream_response_time",
+        F.when(
+            times.isNotNull(),
+            F.aggregate(
+                F.filter(times, lambda x: x != "-"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x.try_cast("double"), F.lit(0.0)),
+            ).cast("float"),
+        ),
+    )
+    codes = F.col("upstream_response_status_code_list")
+    out = out.withColumn(
+        "nginx_ingress_controller_upstream_response_status_code",
+        F.get(F.reverse(F.filter(codes, lambda x: x != "-")), 0)
+        .try_cast("int"),
+    )
+    out = out.withColumn(
+        "upstream_address", F.get(F.reverse(F.col("upstream_address_list")), 0)
+    )
+    out = P.grok(out, NGINX_INGRESS_UPSTREAM_ADDR_PATTERNS,
+                 field="upstream_address", target_prefix="ua",
+                 flag_failures=False,
+                 pattern_definitions=NGINX_INGRESS_UPSTREAM_ADDR_DEFINITIONS)
+    ua = F.col("ua")
+    out = out.withColumn("nginx_ingress_controller_upstream_ip", ua[pre + "upstream_ip"])
+    out = out.withColumn("nginx_ingress_controller_upstream_port",
+                         ua[pre + "upstream_port"].try_cast("long"))
+    out = out.withColumn("upstream_name", p[pre + "upstream_name"])
+    out = out.withColumn("upstream_alternative_name",
+                         p[pre + "upstream_alternative_name"])
+
+    # source = first public ip in remote_ip_list, else its head, else the
+    # bare source.address capture (pipeline.yml:185-229 painless)
+    ip_list = F.col("remote_ip_list")
+
+    def _is_private(x):
+        o = F.split(x, r"\.")
+        f1 = F.get(o, 0).try_cast("int")
+        f2 = F.get(o, 1).try_cast("int")
+        return F.coalesce(
+            (f1 == 10) | (f1 == 127) | ((f1 == 192) & (f2 == 168))
+            | ((f1 == 172) & f2.between(16, 31)),
+            F.lit(False),
+        )
+
+    addr = F.coalesce(
+        F.get(F.filter(ip_list, lambda x: ~_is_private(x)), 0),
+        F.get(ip_list, 0),
+        p["source_address"],
+    )
+    out = out.withColumn("source_address", addr)
+    out = out.withColumn("source_ip", F.when(addr.rlike(_IP_RE), addr))
+    out = out.withColumn("destination_ip", p["destination_ip"])
+    out = out.withColumn("destination_domain", p["destination_domain"])
+    out = out.withColumn("user_name", p["user_name"])
+    out = out.withColumn("user_agent_original", p["user_agent_original"])
+    out = out.withColumn("http_request_referrer", p["http_request_referrer"])
+    out = out.withColumn("http_response_status_code",
+                         p["http_response_status_code"])
+    out = out.withColumn("http_response_body_bytes",
+                         p["http_response_body_bytes"])
+    out = out.withColumn("http_request_id", p[pre + "http_request_id"])
+
+    out = out.withColumn("_t", p[pre + "time"])
+    out = P.timestamp(out, "_t", ["02/Jan/2006:15:04:05 -0700"],
+                      target="timestamp", timezone=timezone)
+    out = out.drop("_t")
+    status = p["http_response_status_code"]
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn("event_category", F.array(F.lit("web")))
+    out = out.withColumn("event_type", F.array(F.lit("info")))
+    out = out.withColumn(
+        "event_outcome",
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull(), "failure"),
+    )
+    out = out.withColumn(
+        "related_ip",
+        F.array_distinct(F.array_compact(F.array(
+            F.col("source_ip"), F.col("destination_ip"),
+            F.col("nginx_ingress_controller_upstream_ip"),
+        ))),
+    )
+    out = out.withColumn(
+        "related_user",
+        F.when(F.col("user_name").isNotNull(),
+               F.array(F.col("user_name"))),
+    )
+    return out.drop("ua")
+
+
+MODULES["nginx.ingress_controller"] = nginx_ingress_controller

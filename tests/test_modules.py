@@ -978,3 +978,49 @@ def test_logstash_slowlog_golden(spark, log):
         for k, v in exp.items():
             if k.startswith("logstash.slowlog.plugin_params_object."):
                 assert obj.get(k.rsplit(".", 1)[1]) == v, k
+
+
+NGINX_INGRESS_FIELDS = [
+    "http.request.method", "http.version", "http.response.status_code",
+    "http.response.body.bytes", "http.request.referrer", "http.request.id",
+    "user.name", "user_agent.original", "source.address", "source.ip",
+    "url.original", "url.path", "url.query", "url.extension",
+    "nginx.ingress_controller.http.request.id",
+    "nginx.ingress_controller.http.request.length",
+    "nginx.ingress_controller.http.request.time",
+    "nginx.ingress_controller.upstream.name",
+    "nginx.ingress_controller.upstream.alternative_name",
+    "nginx.ingress_controller.upstream.ip",
+    "nginx.ingress_controller.upstream.port",
+    "nginx.ingress_controller.upstream.response.length",
+    "nginx.ingress_controller.upstream.response.time",
+    "nginx.ingress_controller.upstream.response.status_code",
+    "event.kind", "event.category", "event.type", "event.outcome",
+    "related.ip", "related.user", "event.original",
+]
+
+NGINX_INGRESS_LIST_FIELDS = {
+    "nginx.ingress_controller.remote_ip_list": "remote_ip_list",
+    "nginx.ingress_controller.upstream_address_list": "upstream_address_list",
+    "nginx.ingress_controller.upstream.response.length_list":
+        "upstream_response_length_list",
+    "nginx.ingress_controller.upstream.response.time_list":
+        "upstream_response_time_list",
+    "nginx.ingress_controller.upstream.response.status_code_list":
+        "upstream_response_status_code_list",
+}
+
+
+def test_nginx_ingress_controller_golden(spark):
+    from beats_spark.modules import nginx_ingress_controller
+
+    lines, golden = _load_golden("nginx", "ingress_controller", "test.log")
+    rows = _run(spark, nginx_ingress_controller, lines)
+    _check(rows, golden, NGINX_INGRESS_FIELDS)
+    for i, (row, exp) in enumerate(zip(rows, golden)):
+        for gk, col in NGINX_INGRESS_LIST_FIELDS.items():
+            want = exp.get(gk)
+            got = row.get(col)
+            # expected.json stores arrays sorted
+            assert (sorted(got) if got else None) == \
+                   (sorted(want) if want else None), (i, gk, want, got)
