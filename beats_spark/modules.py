@@ -3315,3 +3315,161 @@ def nginx_ingress_controller(df: DataFrame, field: str = "message",
 
 
 MODULES["nginx.ingress_controller"] = nginx_ingress_controller
+
+
+# -- icinga.startup / icinga.debug (icinga/{startup,debug}/ingest/) ----------
+
+ICINGA_STARTUP_PATTERNS = [
+    r"%{WORD:log.level}/%{WORD:icinga.startup.facility}: "
+    r"%{GREEDYMULTILINE:message}",
+]
+
+ICINGA_DEBUG_PATTERNS = [
+    r"\[%{TIMESTAMP:icinga.debug.timestamp}\] %{WORD:log.level}/"
+    r"%{WORD:icinga.debug.facility}: %{GREEDYMULTILINE:message}",
+]
+
+
+def icinga_startup(df: DataFrame, field: str = "message") -> DataFrame:
+    """icinga/startup/ingest/pipeline.yml: icinga.main minus the timestamp
+    bracket (startup logs carry no time), warning/critical →
+    event.type=error."""
+    out = P.grok(df, ICINGA_STARTUP_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions={"GREEDYMULTILINE": "(.|\n)*"})
+    p = F.col("parsed")
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("message_out", p["message"])
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(p["log_level"].isin("warning", "critical"), "error")
+        .otherwise("info"),
+    )
+    return out
+
+
+def icinga_debug(df: DataFrame, field: str = "message") -> DataFrame:
+    """icinga/debug/ingest/pipeline.yml: identical shape to icinga.main
+    under the icinga.debug.* prefix."""
+    out = P.grok(df, ICINGA_DEBUG_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=ICINGA_MAIN_DEFINITIONS)
+    p = F.col("parsed")
+    out = P.timestamp(out, "parsed.icinga_debug_timestamp",
+                      ["2006-01-02 15:04:05 -0700"], target="timestamp")
+    out = out.withColumn("log_level", p["log_level"])
+    out = out.withColumn("message_out", p["message"])
+    out = out.withColumn("event_kind", F.lit("event"))
+    out = out.withColumn(
+        "event_type",
+        F.when(p["log_level"].isin("warning", "critical"), "error")
+        .otherwise("info"),
+    )
+    return out
+
+
+MODULES["icinga.startup"] = icinga_startup
+MODULES["icinga.debug"] = icinga_debug
+
+
+# -- pensando.dfw (pensando/dfw/ingest/pipeline.yml) -------------------------
+
+PENSANDO_DFW_PATTERNS = [
+    r"%{SYSLOG5424PRI}%{NONNEGINT:syslog5424_ver} "
+    r"+(?:%{TIMESTAMP_ISO8601:syslog5424_ts}|-) "
+    r"+(?:%{IPORHOST:syslog5424_host}|-) "
+    r"+(-|%{SYSLOG5424PRINTASCII:syslog5424_app}) "
+    r"+(-|%{SYSLOG5424PRINTASCII:syslog5424_proc}) "
+    r"+(?::-|%{SYSLOG5424PRINTASCII:syslog5424_msgid}) "
+    r"+\[%{GREEDYDATA:payload_raw}\]$",
+]
+
+PENSANDO_DFW_DEFINITIONS = {
+    "SYSLOG5424PRI": r"<%{NONNEGINT}>",
+}
+
+_PENSANDO_DFW_SCHEMA = (
+    "time string, destaddr string, destport int, srcaddr string, "
+    "srcport int, protocol string, action string, direction string, "
+    "`rule-id` long, `session-id` long, `session-state` string, "
+    "`app-id` string"
+)
+
+
+def pensando_dfw(df: DataFrame, field: str = "message",
+                 timezone: str | None = None) -> DataFrame:
+    """pensando/dfw: RFC-5424 header grok (verbatim), JSON payload decode,
+    the port-comparison client/server classification (higher port = client;
+    ICMP pins client=src, server port 0), allow/deny → event.action
+    allowed/denied + event.type [connection, …]. server.port is a STRING
+    (the reference sets it via a mustache template); source/destination
+    ports are integers (convert processor). geoip scoped out.
+
+    Reference: pensando/dfw/ingest/pipeline.yml; goldens
+    pensando/dfw/test/test.log-expected.json."""
+    out = P.grok(df, PENSANDO_DFW_PATTERNS, field=field,
+                 target_prefix="parsed",
+                 pattern_definitions=PENSANDO_DFW_DEFINITIONS)
+    p = F.col("parsed")
+    out = out.withColumn("event_original", F.col(field))
+    out = out.withColumn(
+        "j", F.from_json(p["payload_raw"], _PENSANDO_DFW_SCHEMA))
+    j = F.col("j")
+    out = out.withColumn("timestamp", F.try_to_timestamp(j["time"]))
+    for src, dst in [
+        ("action", "pensando_dfw_action"),
+        ("app-id", "pensando_dfw_app_id"),
+        ("destaddr", "pensando_dfw_destination_address"),
+        ("destport", "pensando_dfw_destination_port"),
+        ("direction", "pensando_dfw_direction"),
+        ("protocol", "pensando_dfw_protocol"),
+        ("rule-id", "pensando_dfw_rule_id"),
+        ("session-id", "pensando_dfw_session_id"),
+        ("session-state", "pensando_dfw_session_state"),
+        ("srcaddr", "pensando_dfw_source_address"),
+        ("srcport", "pensando_dfw_source_port"),
+    ]:
+        out = out.withColumn(dst, j[src])
+    sp, dp = j["srcport"], j["destport"]
+    sa, da = j["srcaddr"], j["destaddr"]
+    icmp = j["protocol"] == "ICMP"
+    out = out.withColumn("event_category", F.array(F.lit("network")))
+    out = out.withColumn("observer_vendor", F.lit("Pensando Systems"))
+    out = out.withColumn("observer_type", F.lit("firewall"))
+    out = out.withColumn("observer_product",
+                         F.lit("Distributed Services Platform"))
+    out = out.withColumn("network_type", F.lit("ipv4"))
+    out = out.withColumn("network_transport", F.lower(j["protocol"]))
+    out = out.withColumn("source_address", sa)
+    out = out.withColumn("source_port", sp)
+    out = out.withColumn("destination_address", da)
+    out = out.withColumn("destination_port", dp)
+    out = out.withColumn(
+        "client_ip",
+        F.when(icmp, sa).when(sp > dp, sa).when(dp > sp, da))
+    out = out.withColumn(
+        "server_ip",
+        F.when(icmp, da).when(sp < dp, sa).when(dp < sp, da))
+    out = out.withColumn(
+        "server_port",
+        F.when(icmp, F.lit("0"))
+        .when(sp < dp, sp.cast("string"))
+        .when(dp < sp, dp.cast("string")))
+    out = out.withColumn("event_kind", F.lit("event"))
+    act = j["action"]
+    out = out.withColumn(
+        "event_action",
+        F.when(act == "allow", "allowed").when(act == "deny", "denied"))
+    out = out.withColumn("rule_id", j["rule-id"].cast("string"))
+    out = out.withColumn(
+        "event_outcome", F.when(act.isin("allow", "deny"), "success"))
+    out = out.withColumn(
+        "event_type",
+        F.when(act == "allow", F.array(F.lit("connection"), F.lit("allowed")))
+        .when(act == "deny", F.array(F.lit("connection"), F.lit("denied"))))
+    out = out.withColumn("event_dataset", F.lit("pensando.dfw"))
+    return out.drop("j")
+
+
+MODULES["pensando.dfw"] = pensando_dfw

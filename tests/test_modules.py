@@ -1024,3 +1024,46 @@ def test_nginx_ingress_controller_golden(spark):
             # expected.json stores arrays sorted
             assert (sorted(got) if got else None) == \
                    (sorted(want) if want else None), (i, gk, want, got)
+
+
+def test_icinga_startup_golden(spark):
+    from beats_spark.modules import icinga_startup
+
+    lines, golden = _load_golden("icinga", "startup", "test.log")
+    rows = _run(spark, icinga_startup, lines)
+    _check(rows, golden,
+           ["log.level", "icinga.startup.facility", "message",
+            "event.kind", "event.type"], ts_field=None)
+
+
+def test_icinga_debug_golden(spark):
+    from beats_spark.modules import icinga_debug
+
+    lines, golden = _load_golden("icinga", "debug", "test.log")
+    rows = _run(spark, icinga_debug, lines)
+    _check(rows, golden,
+           ["log.level", "icinga.debug.facility", "message",
+            "event.kind", "event.type"])
+
+
+PENSANDO_DFW_FIELDS = [
+    "pensando.dfw.action", "pensando.dfw.destination_address",
+    "pensando.dfw.destination_port", "pensando.dfw.direction",
+    "pensando.dfw.protocol", "pensando.dfw.rule_id",
+    "pensando.dfw.session_id", "pensando.dfw.session_state",
+    "pensando.dfw.source_address", "pensando.dfw.source_port",
+    "source.address", "source.port", "destination.address",
+    "destination.port", "client.ip", "server.ip", "server.port",
+    "network.transport", "network.type", "observer.vendor",
+    "observer.type", "observer.product", "rule.id",
+    "event.kind", "event.category", "event.type", "event.action",
+    "event.outcome", "event.original",
+]
+
+
+def test_pensando_dfw_golden(spark):
+    from beats_spark.modules import pensando_dfw
+
+    lines, golden = _load_golden("pensando", "dfw", "test.log")
+    rows = _run(spark, pensando_dfw, lines)
+    _check(rows, golden, PENSANDO_DFW_FIELDS)
