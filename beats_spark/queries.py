@@ -1691,6 +1691,168 @@ def q_community_id(spark, sf_dir):
     )
 
 
+def _iis_error_line_sql(dialect: str) -> str:
+    """Deterministic IIS HTTP-API error lines from the events table: four
+    url classes by event_id % 4 (plain file, query-string, multi-dot html,
+    and the no-uri '-' form) and a status mix covering both outcomes."""
+    iso = (
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+        if dialect == "spark"
+        else "strftime(ts, '%Y-%m-%d %H:%M:%S')"
+    )
+    o1, o2 = "CAST(user_id % 250 AS BIGINT)", "CAST(event_id % 250 AS BIGINT)"
+    sport = "CAST(event_id % 60000 + 1024 AS BIGINT)"
+    status = ("CAST(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 200 "
+              "WHEN 1 THEN 404 ELSE 503 END AS BIGINT)")
+    eid = "CAST(event_id % 1000 AS BIGINT)"
+    url = f"""CASE CAST(event_id % 4 AS INT)
+ WHEN 0 THEN printf('/qos/file%d.txt', {eid})
+ WHEN 1 THEN printf('/products/%d?q=a+b', {eid})
+ WHEN 2 THEN printf('/x/y.%d.html', {eid})
+ ELSE '-' END"""
+    return f"""printf('%s 10.1.%d.%d %d 192.168.7.9 80 HTTP/1.1 %s %s %d - Reason_%d -',
+ {iso}, {o1}, {o2}, {sport},
+ CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'DELETE' END,
+ {url}, {status}, CAST(event_id % 7 AS BIGINT))"""
+
+
+@register(
+    "module_iis_error",
+    f"""
+WITH expected AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 'success' ELSE 'failure' END AS outcome,
+         CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'GET'
+              WHEN 1 THEN 'POST' ELSE 'DELETE' END AS method,
+         CASE CAST(event_id % 4 AS INT)
+              WHEN 0 THEN printf('/qos/file%d.txt', CAST(event_id % 1000 AS BIGINT))
+              WHEN 1 THEN printf('/products/%d', CAST(event_id % 1000 AS BIGINT))
+              WHEN 2 THEN printf('/x/y.%d.html', CAST(event_id % 1000 AS BIGINT))
+              END AS path,
+         CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'txt'
+              WHEN 2 THEN 'html' END AS ext,
+         CASE WHEN event_id % 4 = 1 THEN 'q=a+b' END AS query,
+         printf('10.1.%d.%d', user_id % 250, event_id % 250) AS src_ip,
+         CAST(event_id % 60000 + 1024 AS BIGINT) AS sport,
+         printf('Reason_%d', event_id % 7) AS reason,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT outcome, method, count(*) AS n_rows,
+       count(path) AS n_path, count(ext) AS n_ext, count(query) AS n_query,
+       min(path) AS min_path, max(path) AS max_path,
+       count(DISTINCT ext) AS n_ext_kinds,
+       count(DISTINCT reason) AS n_reasons,
+       CAST(sum(sport) AS BIGINT) AS sum_sport,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1, 2
+""",
+)
+def q_module_iis_error(spark, sf_dir):
+    """The iis.error module pipeline (modules.py; golden parity vs all three
+    reference logs pinned in tests/test_modules.py) over synthesized
+    HTTP-API error lines; the oracle derives outcome, uri_parts
+    (path/extension/query), source ip/port and the timestamp chain
+    independently from the event columns each line was printed from."""
+    from beats_spark.modules import iis_error
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(f"{_iis_error_line_sql('spark')} AS message")
+    out = iis_error(lines)
+    return out.groupBy(
+        F.col("event_outcome").alias("outcome"),
+        F.col("parsed")["http_request_method"].alias("method"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("url_path").alias("n_path"),
+        F.count("url_extension").alias("n_ext"),
+        F.count("url_query").alias("n_query"),
+        F.min("url_path").alias("min_path"),
+        F.max("url_path").alias("max_path"),
+        F.countDistinct("url_extension").alias("n_ext_kinds"),
+        F.countDistinct(F.col("parsed")["iis_error_reason_phrase"]).alias("n_reasons"),
+        F.sum(F.col("parsed")["source_port"]).alias("sum_sport"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("max_ts"),
+    )
+
+
+def _pensando_line_sql(dialect: str) -> str:
+    """Deterministic Pensando DSC firewall syslog lines (RFC-5424 header +
+    JSON payload) from the events table."""
+    iso = (
+        "date_format(ts, 'yyyy-MM-dd\\'T\\'HH:mm:ss')"
+        if dialect == "spark"
+        else "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    )
+    proto = ("CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'TCP' "
+             "WHEN 1 THEN 'UDP' ELSE 'ICMP' END")
+    act = "CASE WHEN event_id % 2 = 0 THEN 'allow' ELSE 'deny' END"
+    return f"""printf('<14>1 %sZ esx01-dsc pen-tmagent 1402  - [{{"time":"%sZ","destaddr":"10.29.%d.%d","destport":%d,"srcaddr":"10.30.%d.%d","srcport":%d,"protocol":"%s","action":"%s","direction":"from-host","rule-id":%d,"session-id":%d,"session-state":"flow_create"}}]',
+ {iso}, {iso},
+ CAST(user_id % 200 AS BIGINT), CAST(event_id % 200 AS BIGINT),
+ CAST(CASE WHEN event_id % 2 = 0 THEN 80 ELSE 443 END AS BIGINT),
+ CAST(event_id % 200 AS BIGINT), CAST(user_id % 200 AS BIGINT),
+ CAST(event_id % 60000 + 1024 AS BIGINT),
+ {proto}, {act},
+ CAST(event_id % 100000 AS BIGINT), CAST(event_id AS BIGINT))"""
+
+
+@register(
+    "module_pensando_dfw",
+    """
+WITH expected AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'allowed' ELSE 'denied' END AS action,
+         lower(CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'TCP'
+               WHEN 1 THEN 'UDP' ELSE 'ICMP' END) AS transport,
+         printf('10.30.%d.%d', event_id % 200, user_id % 200) AS client,
+         printf('10.29.%d.%d', user_id % 200, event_id % 200) AS server,
+         CASE WHEN event_id % 3 = 2 THEN '0'
+              WHEN event_id % 2 = 0 THEN '80' ELSE '443' END AS server_port,
+         CAST(event_id % 60000 + 1024 AS BIGINT) AS sport,
+         CAST(event_id AS BIGINT) AS sid,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT action, transport, 'success' AS outcome, count(*) AS n_rows,
+       count(client) AS n_client, count(server) AS n_server,
+       count(DISTINCT server_port) AS n_server_ports,
+       min(server_port) AS min_server_port,
+       CAST(sum(sport) AS BIGINT) AS sum_sport,
+       min(sid) AS min_sid, max(sid) AS max_sid,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1, 2
+""",
+)
+def q_module_pensando_dfw(spark, sf_dir):
+    """The pensando.dfw module pipeline (modules.py; golden parity pinned in
+    tests/test_modules.py) over synthesized RFC-5424 firewall lines: the
+    oracle independently derives the client/server classification (src port
+    is always ephemeral > dest, ICMP pins server_port '0'), the
+    allow/deny → allowed/denied action map and the payload timestamp
+    chain."""
+    from beats_spark.modules import pensando_dfw
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.selectExpr(f"{_pensando_line_sql('spark')} AS message")
+    out = pensando_dfw(lines)
+    return out.groupBy(
+        F.col("event_action").alias("action"),
+        F.col("network_transport").alias("transport"),
+        F.col("event_outcome").alias("outcome"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("client_ip").alias("n_client"),
+        F.count("server_ip").alias("n_server"),
+        F.countDistinct("server_port").alias("n_server_ports"),
+        F.min("server_port").alias("min_server_port"),
+        F.sum("pensando_dfw_source_port").alias("sum_sport"),
+        F.min("pensando_dfw_session_id").alias("min_sid"),
+        F.max("pensando_dfw_session_id").alias("max_sid"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("max_ts"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
