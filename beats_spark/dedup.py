@@ -569,3 +569,57 @@ def ngram_jaccard_pairs(
         .where(F.col("inter_size") >= F.lit(threshold) * F.col("union_size"))
         .select("id_a", "id_b", verify_jaccard)
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    target: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one word n-gram (default 13, the GPT-3/PaLM convention) with
+    the probe (benchmark/eval) corpus.
+
+    Scale shape: the corpus side explodes to DISTINCT (id, xxhash64(gram))
+    pairs — 8 bytes per gram, never the gram strings; the probe side is a
+    distinct hash set, typically millions of rows at most (benchmarks are
+    small), so the membership test is a BROADCAST left-semi join: the 100 TB
+    side is never shuffled. Tokenization is lower+whitespace; documents
+    shorter than n tokens contribute their full token run as a single gram
+    (both sides build grams identically, so the contract is symmetric).
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); the n-gram overlap rule follows Brown et al. 2020 (GPT-3,
+    appendix C) / Chowdhery et al. 2022 (PaLM, §6.1).
+    """
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> xxhash64(concat_ws(' ', slice(_toks, i, {n})))))"
+    )
+
+    def _hashed(frame: DataFrame, col: str, with_id: bool) -> DataFrame:
+        toks = frame.where(F.col(col).isNotNull()).select(
+            *([F.col(id_col).alias("_id")] if with_id else []),
+            F.split(F.trim(F.lower(F.col(col))), r"\s+").alias("_toks"),
+        )
+        return toks.select(
+            *([F.col("_id")] if with_id else []),
+            F.explode(grams).alias("_h"),
+        )
+
+    doc_h = _hashed(df, text_col, True)
+    probe_h = _hashed(probe, probe_text_col, False).distinct()
+    hits = (
+        doc_h.join(F.broadcast(probe_h), "_h", "left_semi")
+        .select("_id")
+        .distinct()
+        .withColumn(target, F.lit(True))
+        .withColumnRenamed("_id", id_col)
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        target, F.coalesce(F.col(target), F.lit(False))
+    )

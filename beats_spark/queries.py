@@ -1853,6 +1853,158 @@ def q_module_pensando_dfw(spark, sf_dir):
     )
 
 
+@register(
+    "repetition_quality",
+    """
+WITH docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           text || chr(10) || substr(text, 1, 40)
+                || chr(10) || substr(text, 1, 40)
+         ELSE text END AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id < 1000
+),
+lines AS (
+  SELECT doc_id, t AS ln, count(*) AS c
+  FROM (SELECT doc_id, trim(u.ln) AS t
+        FROM docs2, unnest(string_split(text, chr(10))) AS u(ln)) s
+  WHERE t != '' GROUP BY 1, 2
+),
+lf AS (
+  SELECT doc_id,
+         (sum(c) - count(*)) / sum(c) AS dup_line_frac,
+         (sum(len(ln) * c) - sum(len(ln))) / sum(len(ln) * c)
+           AS dup_line_char_frac
+  FROM lines GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, ln AS total_len, g, count(*) AS c
+  FROM (SELECT doc_id, len(trim(text)) AS ln,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 1, 1) + 1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS g
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+              FROM docs2) s0) s
+  GROUP BY 1, 2, 3
+),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN total_len > 0
+              THEN c * len(g) / CAST(total_len AS DOUBLE) ELSE 0.0 END
+           AS top_ngram_char_frac
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM grams)
+  WHERE rn = 1
+),
+feats AS (
+  SELECT d.doc_id,
+         coalesce(lf.dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(lf.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         coalesce(tg.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+  LEFT JOIN lf USING (doc_id) LEFT JOIN tg USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       round(avg(dup_line_frac), 6) AS avg_dup_line_frac,
+       round(avg(dup_line_char_frac), 6) AS avg_dup_char_frac,
+       round(avg(top_ngram_char_frac), 6) AS avg_top_ngram_frac,
+       count(CASE WHEN dup_line_frac > 0.3 THEN 1 END) AS n_line_repetitive,
+       count(CASE WHEN top_ngram_char_frac > 0.2 THEN 1 END)
+         AS n_ngram_repetitive
+FROM feats
+""",
+)
+def q_repetition_quality(spark, sf_dir):
+    """Gopher repetition-rule features (textops.repetition_features) over
+    the documents table, with the Gopher filter thresholds (dup_line_frac
+    > 0.3, top 2-gram char fraction > 0.2) counted; the oracle recomputes
+    every signal from scratch in DuckDB (independent line/gram pipeline,
+    window arg-max instead of struct-max)."""
+    from beats_spark import textops as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1000
+    )
+    docs2 = docs.where(F.col("text").isNotNull()).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat_ws(
+                "\n", F.col("text"),
+                F.substring(F.col("text"), 1, 40),
+                F.substring(F.col("text"), 1, 40),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = TX.repetition_features(docs2)
+    out = docs.select("doc_id").join(
+        out.select("doc_id", "dup_line_frac", "dup_line_char_frac",
+                   "top_ngram_char_frac"),
+        "doc_id", "left",
+    ).fillna(0.0)
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("dup_line_char_frac"), 6).alias("avg_dup_char_frac"),
+        F.round(F.avg("top_ngram_char_frac"), 6).alias("avg_top_ngram_frac"),
+        F.count(F.when(F.col("dup_line_frac") > 0.3, 1))
+        .alias("n_line_repetitive"),
+        F.count(F.when(F.col("top_ngram_char_frac") > 0.2, 1))
+        .alias("n_ngram_repetitive"),
+    )
+
+
+@register(
+    "decontaminate",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id < 1500
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 12, 1) + 1),
+           i -> array_to_string(t[i:i+12], ' ')))) AS g
+  FROM toks
+),
+probe AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+),
+flags AS (
+  SELECT t.doc_id,
+         t.doc_id IN (SELECT DISTINCT doc_id FROM grams
+                      WHERE g IN (SELECT g FROM probe)) AS contaminated
+  FROM toks t
+)
+SELECT contaminated, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM flags GROUP BY 1
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    """13-gram benchmark decontamination (dedup.decontaminate): the probe
+    set is the doc_id % 7 == 0 slice standing in for an eval benchmark;
+    every doc sharing a 13-gram with it is flagged (probe docs flag
+    themselves — trivially contaminated). Oracle: DuckDB recomputes the
+    overlap on gram STRINGS while Spark joins on xxhash64(gram) — equal
+    flags unless a 64-bit collision manufactures a false positive."""
+    from beats_spark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1500
+    ).where(F.col("text").isNotNull())
+    probe = docs.where(F.col("doc_id") % 7 == 0)
+    out = D.decontaminate(docs, probe, n=13)
+    return out.groupBy("contaminated").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

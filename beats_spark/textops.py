@@ -205,3 +205,78 @@ def doc_fingerprint_oracle(table: str = "documents", text_col: str = "text",
         f"(SELECT doc_id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
         f" AS _fp_norm FROM {table})"
     )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    Gopher appendix A1.1; the same rules RefinedWeb/NeMo-Curator apply):
+
+    - ``dup_line_frac``: fraction of (non-blank, trimmed) lines that are
+      repeats of an earlier line = (total - distinct) / total.
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      repeated occurrences = (Σ chars over all lines − Σ chars over
+      distinct lines) / Σ chars over all lines.
+    - ``top_ngram_char_frac``: characters covered by the single most
+      frequent word n-gram (count × gram length / total text length);
+      ties broken toward the lexicographically largest gram so the result
+      is deterministic and oracle-reproducible.
+
+    Scale shape: posexplode-free — one explode per signal family feeding
+    hash-aggregates keyed on the doc id (map-side partials, no windows, no
+    higher-order lambda folds in the hot path), then a broadcast-sized
+    per-doc feature frame joined back. Docs with no lines/grams get 0.0.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    ln = (
+        df.select(F.col(id_col).alias("_id"), F.explode(lines).alias("_ln"))
+        .groupBy("_id", "_ln")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            ((F.sum("_c") - F.count("*")) / F.sum("_c")).alias("dup_line_frac"),
+            (
+                (F.sum(F.length("_ln") * F.col("_c")) - F.sum(F.length("_ln")))
+                / F.sum(F.length("_ln") * F.col("_c"))
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {ngram_n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {ngram_n})))"
+    )
+    top = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.length(F.trim(F.col(text_col))).alias("_len"),
+            F.split(F.trim(F.lower(F.col(text_col))), _WS).alias("_toks"),
+        )
+        .select("_id", "_len", F.explode(grams).alias("_g"))
+        .groupBy("_id", "_len", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.max(F.struct(F.col("_c"), F.col("_g"))).alias("_top"),
+            F.first("_len").alias("_len"),
+        )
+        .select(
+            "_id",
+            F.when(
+                F.col("_len") > 0,
+                F.col("_top")["_c"] * F.length(F.col("_top")["_g"])
+                / F.col("_len"),
+            ).otherwise(F.lit(0.0)).alias("top_ngram_char_frac"),
+        )
+    )
+    feats = ln.join(top, "_id", "full").withColumnRenamed("_id", id_col)
+    out = df.join(feats, id_col, "left")
+    for c in ("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    return out

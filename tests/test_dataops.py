@@ -185,3 +185,67 @@ def test_doc_fingerprint_stability(spark, docs):
     fp2 = X.doc_fingerprint(docs).select("doc_id", "doc_fp")
     assert fp1.exceptAll(fp2).count() == 0
     assert fp1.filter(F.col("doc_fp").isNull()).count() == 0
+
+
+def test_decontaminate(spark):
+    from beats_spark.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # shares 5-gram run
+            (3, "totally different words here now"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon suffix")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate(docs, probe, n=5).collect()}
+    # doc1: its single whole-doc 5-gram appears verbatim in the probe run
+    assert out[1] is True
+    # doc2: 5-grams at offsets 1 and 2 both appear in the probe
+    assert out[2] is True
+    assert out[3] is False
+    assert out[4] is False  # null text never flags
+
+
+def test_decontaminate_short_doc_symmetry(spark):
+    from beats_spark.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny dog")], "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(9, "tiny doc")], "doc_id long, text string")
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate(docs, probe, n=13).collect()}
+    # both sides shorter than n: whole-token-run grams compare directly
+    assert out[1] is True and out[2] is False
+
+
+def test_repetition_features(spark):
+    from beats_spark.textops import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),          # 3 lines, 1 dup
+            (2, "x y z"),                  # no dups
+            (3, "go go go go"),            # top 2-gram 'go go' 3x
+            (4, ""),                       # empty
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert abs(rows[1].dup_line_frac - 1 / 3) < 1e-9
+    # chars: lines 'a b','a b','c d' → total 9, distinct 6 → 1/3
+    assert abs(rows[1].dup_line_char_frac - 1 / 3) < 1e-9
+    assert rows[2].dup_line_frac == 0.0
+    # 'go go' occurs 3 times, len 5, text len 11 → 15/11 capped? no cap —
+    # overlapping occurrences can exceed 1 by construction; pin exact value
+    assert abs(rows[3].top_ngram_char_frac - 15 / 11) < 1e-9
+    assert rows[4].dup_line_frac == 0.0
+    assert rows[5].top_ngram_char_frac == 0.0

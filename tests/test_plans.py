@@ -232,3 +232,19 @@ def test_connected_components_is_driver_light(spark):
     src = inspect.getsource(graph)
     assert src.count("collect()") == 1  # only the fingerprint agg
     assert "toPandas" not in src
+
+
+def test_decontaminate_broadcasts_probe(spark):
+    import beats_spark.dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    probe = docs.where("doc_id % 7 = 0")
+    plan = _formatted_plan(D.decontaminate(docs, probe, n=13))
+    nodes = _nodes(plan)
+    # the probe (benchmark) side must reach the membership test as a
+    # broadcast: the 100 TB corpus side is never shuffled for the semi-join
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+    assert "CartesianProduct" not in nodes
+    # gram payloads travel as xxhash64 longs, not strings
+    assert "xxhash64" in plan
