@@ -116,3 +116,32 @@ def session_flows_stream(
             "conv_id", "n_turns", "first_turn", "last_turn",
         )
     )
+
+
+def stream_exact_dedup(
+    tdf: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of dedup.exact_dedup: drop any event whose normalized
+    content hash was already seen within the watermark horizon.
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state store holds
+    each key only until the watermark passes it — bounded state at
+    unbounded input, the only shape that survives an always-on 10^12-turn
+    stream (a plain dropDuplicates on a stream accumulates state forever).
+    Exactly-once within the horizon; an identical turn arriving later than
+    `watermark` is treated as new — the documented horizon trade every
+    streaming dedup makes.
+    """
+    from beats_spark.dedup import normalize_text
+
+    hashed = tdf.withColumn(
+        "_dedup_key", F.sha2(normalize_text(F.col(text_col)), 256)
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
+    )

@@ -181,3 +181,34 @@ def test_stream_cache_never_put_key_stays_null(spark, tmp_path):
     got = _run_memory_stream(spark, enriched, "cache_t2")
     vals = [r.cached_value for r in got.collect()]
     assert len(vals) == 3 and all(v is None for v in vals)
+
+
+def test_stream_exact_dedup(spark, source_dir, tmp_path):
+    from beats_spark.streaming.pipeline import stream_exact_dedup
+
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    q = (
+        stream_exact_dedup(stream_transcripts(spark, source_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from beats_spark.dedup import normalize_text
+
+    def _key_counts(df):
+        return df.withColumn(
+            "_k", F.sha2(normalize_text(F.col("text")), 256)
+        ).groupBy("_k").count()
+
+    got = _key_counts(spark.read.parquet(out))
+    # exactly one survivor per content key in the streamed output …
+    assert got.where("count > 1").count() == 0
+    # … and every key of the batch input is represented (same key set as
+    # the batch exact_dedup survivor set; which ROW survives per key is
+    # arrival-order-dependent in streaming, min-id in batch)
+    batch_keys = _key_counts(load_transcripts(spark, SF_SMOKE))
+    assert got.count() == batch_keys.count()
