@@ -2005,6 +2005,106 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+_GOPHER_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id < 1000
+),
+q AS (
+  SELECT doc_id,
+         {n_tokens} AS n_tokens,
+         {mean_word_len} AS mean_word_len,
+         {punct_ratio} AS punct_ratio,
+         {stopword_hits} AS stopword_hits
+  FROM base
+),
+lines AS (
+  SELECT doc_id, t AS ln, count(*) AS c
+  FROM (SELECT doc_id, trim(u.ln) AS t
+        FROM base, unnest(string_split(text, chr(10))) AS u(ln)) s
+  WHERE t != '' GROUP BY 1, 2
+),
+lf AS (
+  SELECT doc_id,
+         (sum(c) - count(*)) / sum(c) AS dup_line_frac,
+         (sum(len(ln) * c) - sum(len(ln))) / sum(len(ln) * c)
+           AS dup_line_char_frac
+  FROM lines GROUP BY 1
+),
+grams AS (
+  SELECT doc_id, ln AS total_len, g, count(*) AS c
+  FROM (SELECT doc_id, len(trim(text)) AS ln,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 1, 1) + 1),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS g
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+              FROM base) s0) s
+  GROUP BY 1, 2, 3
+),
+tg AS (
+  SELECT doc_id,
+         CASE WHEN total_len > 0
+              THEN c * len(g) / CAST(total_len AS DOUBLE) ELSE 0.0 END AS topf
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM grams)
+  WHERE rn = 1
+),
+flags AS (
+  SELECT q.doc_id,
+         q.n_tokens < 50 AS too_few_words,
+         q.n_tokens > 100000 AS too_many_words,
+         q.mean_word_len < 3.0 OR q.mean_word_len > 10.0 AS bad_mwl,
+         q.punct_ratio > 0.2 AS punct_heavy,
+         q.stopword_hits < 2 AS few_stop,
+         coalesce(lf.dup_line_frac, 0.0) > 0.3 AS dup_lines,
+         coalesce(lf.dup_line_char_frac, 0.0) > 0.2 AS dup_chars,
+         coalesce(tg.topf, 0.0) > 0.2 AS rep_ngram
+  FROM q LEFT JOIN lf USING (doc_id) LEFT JOIN tg USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       count(CASE WHEN NOT (too_few_words OR too_many_words OR bad_mwl
+                   OR punct_heavy OR few_stop OR dup_lines OR dup_chars
+                   OR rep_ngram) THEN 1 END) AS n_keep,
+       count(CASE WHEN too_few_words THEN 1 END) AS n_too_few_words,
+       count(CASE WHEN bad_mwl THEN 1 END) AS n_bad_mwl,
+       count(CASE WHEN punct_heavy THEN 1 END) AS n_punct_heavy,
+       count(CASE WHEN few_stop THEN 1 END) AS n_few_stop,
+       count(CASE WHEN rep_ngram THEN 1 END) AS n_rep_ngram
+FROM flags
+"""
+
+
+_gf = X.quality_features_sql("text")
+_GOPHER_ORACLE = _GOPHER_ORACLE.format(
+    n_tokens=_gf["n_tokens"], mean_word_len=_gf["mean_word_len"],
+    punct_ratio=_gf["punct_ratio"], stopword_hits=_gf["stopword_hits"],
+)
+
+
+@register("gopher_filter", _GOPHER_ORACLE)
+def q_gopher_filter(spark, sf_dir):
+    """Composite Gopher-rule keep/drop filter (textops.gopher_filter) over
+    the documents table; oracle independently recomputes every signal AND
+    every threshold in DuckDB and compares keep + per-reason counts."""
+    from beats_spark import textops as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 1000) & F.col("text").isNotNull()
+    )
+    out = TX.gopher_filter(docs)
+    has = lambda r: F.array_contains(F.col("drop_reasons"), r)
+    return out.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        F.count(F.when(has("too_few_words"), 1)).alias("n_too_few_words"),
+        F.count(F.when(has("mean_word_len_out_of_range"), 1)).alias("n_bad_mwl"),
+        F.count(F.when(has("punct_heavy"), 1)).alias("n_punct_heavy"),
+        F.count(F.when(has("too_few_stopwords"), 1)).alias("n_few_stop"),
+        F.count(F.when(has("repeated_ngram"), 1)).alias("n_rep_ngram"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

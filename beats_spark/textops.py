@@ -280,3 +280,63 @@ def repetition_features(
     for c in ("dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"):
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
     return out
+
+
+# Gopher rule thresholds (Rae et al. 2021 appendix A1.1, restated against
+# this engine's signals; symbol-ratio family collapsed onto punct_ratio —
+# documented adaptation, pinned by the oracle)
+GOPHER_THRESHOLDS: dict[str, float] = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_punct_ratio": 0.2,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+    "max_top_ngram_char_frac": 0.2,
+}
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **overrides: float,
+) -> DataFrame:
+    """Composite Gopher-rule document filter: every signal this engine
+    computes (quality_features + repetition_features), thresholded into a
+    ``keep`` boolean and a ``drop_reasons`` array naming each violated
+    rule (empty when keep). Thresholds from GOPHER_THRESHOLDS, overridable
+    per call.
+
+    The signal computation is the two existing operators (one line-explode
+    + one gram-explode aggregate joined back by id; everything else pure
+    Column expressions), so the filter adds zero new shuffles beyond them.
+    """
+    t = {**GOPHER_THRESHOLDS, **overrides}
+    out = quality_features(
+        repetition_features(df, text_col=text_col, id_col=id_col),
+        text_col,
+    )
+    checks = [
+        ("too_few_words", F.col("n_tokens") < t["min_words"]),
+        ("too_many_words", F.col("n_tokens") > t["max_words"]),
+        ("mean_word_len_out_of_range",
+         (F.col("mean_word_len") < t["min_mean_word_len"])
+         | (F.col("mean_word_len") > t["max_mean_word_len"])),
+        ("punct_heavy", F.col("punct_ratio") > t["max_punct_ratio"]),
+        ("too_few_stopwords",
+         F.col("stopword_hits") < t["min_stopword_hits"]),
+        ("dup_lines", F.col("dup_line_frac") > t["max_dup_line_frac"]),
+        ("dup_line_chars",
+         F.col("dup_line_char_frac") > t["max_dup_line_char_frac"]),
+        ("repeated_ngram",
+         F.col("top_ngram_char_frac") > t["max_top_ngram_char_frac"]),
+    ]
+    reasons = F.array_compact(F.array(
+        *[F.when(F.coalesce(cond, F.lit(False)), F.lit(name))
+          for name, cond in checks]
+    ))
+    out = out.withColumn("drop_reasons", reasons)
+    return out.withColumn("keep", F.size("drop_reasons") == 0)

@@ -249,3 +249,28 @@ def test_repetition_features(spark):
     assert abs(rows[3].top_ngram_char_frac - 15 / 11) < 1e-9
     assert rows[4].dup_line_frac == 0.0
     assert rows[5].top_ngram_char_frac == 0.0
+
+
+def test_gopher_filter(spark):
+    from beats_spark.textops import gopher_filter
+
+    good = ("the cat and the dog sat in a house with many other fine words "
+            "that keep on going for a while so the token count is high "
+            "enough to pass the minimum word threshold easily in this test")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # passes everything
+            (2, "short text"),              # too few words
+            (3, "go " * 60),                # repeated 2-gram + no stopwords
+            (4, "!!! ??? *** " * 30),       # punct heavy, no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r
+            for r in gopher_filter(docs, min_words=30).collect()}
+    assert rows[1].keep and rows[1].drop_reasons == []
+    assert "too_few_words" in rows[2].drop_reasons  # 2 < 30
+    assert "repeated_ngram" in rows[3].drop_reasons
+    assert not rows[3].keep
+    assert "punct_heavy" in rows[4].drop_reasons
+    assert "too_few_stopwords" in rows[4].drop_reasons
