@@ -155,3 +155,44 @@ def test_condition_compiler_matches_python(spark, trees):
                                                     t[1] is not None, t[1] or 0))
         ]
         assert got == want, cfg
+
+
+_doc_text = st.text(
+    alphabet="ab c\nd.!", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_repetition_features_invariants(spark, texts):
+    from beats_spark.textops import repetition_features
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = repetition_features(docs).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        # fracs are bounded: dup fractions in [0,1); top-gram char fraction
+        # is ≥0 (can exceed 1 via overlapping occurrences, never negative)
+        assert 0.0 <= r.dup_line_frac < 1.0
+        assert 0.0 <= r.dup_line_char_frac < 1.0
+        assert r.top_ngram_char_frac >= 0.0
+        lines = [ln.strip() for ln in (r.text or "").split("\n") if ln.strip()]
+        if len(set(lines)) == len(lines):
+            assert r.dup_line_frac == 0.0 and r.dup_line_char_frac == 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abc de", min_size=1, max_size=40),
+                min_size=1, max_size=6))
+def test_decontaminate_self_probe_flags_everything(spark, texts):
+    # probing a corpus with ITSELF must flag every non-null doc
+    from beats_spark.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = decontaminate(docs, docs, n=3).collect()
+    for r in out:
+        assert r.contaminated is True
