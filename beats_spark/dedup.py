@@ -623,3 +623,162 @@ def decontaminate(
     return df.join(hits, id_col, "left").withColumn(
         target, F.coalesce(F.col(target), F.lit(False))
     )
+
+
+# sentence tokenizer shared by span_dedup and its DuckDB oracle: runs of
+# non-terminal chars plus their trailing terminal punctuation — expressible
+# identically in Java regex and RE2 (no lookaround)
+SENTENCE_RE = r"[^.!?]+[.!?]*"
+_SPAN_SEP = "\x1f"
+
+
+def sentences_expr(text_col: str) -> Column:
+    """Trimmed, non-empty sentences of a document (deterministic regex
+    tokenization — the oracle-compatible stand-in for a linguistic
+    sentence splitter)."""
+    raw = F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_RE), F.lit(0))
+    return F.filter(F.transform(raw, lambda s: F.trim(s)),
+                    lambda s: s != "")
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_sents: int = 3,
+) -> DataFrame:
+    """C4 three-sentence-span global dedup (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set"). For every `span_sents`-sentence window that
+    occurs more than once corpus-wide, only the first occurrence (min
+    (doc_id, span_idx)) keeps its sentences; every other occurrence has its
+    covered sentences removed. Emits ``n_sentences``, ``n_removed`` and
+    ``deduped`` (kept sentences re-joined with single spaces — whitespace
+    is normalized, content is not).
+
+    Scale shape — the 100 TB property is that TEXT NEVER SHUFFLES:
+      1. span hashes are built map-side from the sentence array (one
+         xxhash64 per window — the 1-hash-per-element regime where an
+         in-array fold/transform beats explode, per doc_fingerprint's A/B);
+      2. the global first-occurrence resolution shuffles bare
+         (hash, doc_id, span_idx) triples — 24 bytes per span;
+      3. removed sentence indexes aggregate back to one short array per
+         AFFECTED doc and join the original frame BY ID — broadcast while
+         the affected-doc set fits (it's orders smaller than the corpus;
+         stats/AQE pick this automatically, the plan gate in test_plans
+         pins it at test scale), degrading to one by-id hash join — the
+         only exchange text can ever ride, and none of the span-resolution
+         shuffles;
+      4. the rebuild is an in-array filter against that index set.
+    Duplicate-span equality is on xxhash64 of the joined window, so a 64-bit
+    collision could remove a non-duplicate span (same accepted odds as
+    decontaminate); the oracle dedups on the span STRINGS and would catch
+    one as a hash mismatch.
+    """
+    k = span_sents
+    sents = sentences_expr(text_col)
+    base = df.withColumn("_sents", sents).withColumn(
+        "n_sentences", F.size("_sents")
+    )
+    span_hashes = F.when(
+        F.col("n_sentences") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_sentences") - (k - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    _SPAN_SEP,
+                    *[F.element_at(F.col("_sents"), i + off) for off in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    occ = base.select(
+        F.col(id_col).alias("_id"), F.posexplode(span_hashes).alias("_pos0", "_h")
+    ).select("_id", (F.col("_pos0") + 1).alias("_span_idx"), "_h")
+
+    per_hash = occ.groupBy("_h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("_id", "_span_idx")).alias("_owner"),
+    )
+    dups = (
+        occ.join(per_hash.where(F.col("_cnt") > 1), "_h")
+        .where(
+            (F.col("_id") != F.col("_owner._id"))
+            | (F.col("_span_idx") != F.col("_owner._span_idx"))
+        )
+        .select("_id", "_span_idx")
+    )
+    removed = (
+        dups.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_span_idx"), F.col("_span_idx") + (k - 1))
+            ).alias("_ridx"),
+        )
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("_ridx")).alias("_removed"))
+    )
+
+    out = base.join(
+        removed.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    kept = F.filter(
+        F.col("_sents"),
+        lambda s, i: ~F.coalesce(
+            F.array_contains(F.col("_removed"), i + 1), F.lit(False)
+        ),
+    )
+    return (
+        out.withColumn("n_removed", F.coalesce(F.size("_removed"), F.lit(0)))
+        .withColumn("deduped", F.array_join(kept, " "))
+        .drop("_sents", "_removed")
+    )
+
+
+def span_dedup_oracle(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", span_sents: int = 3,
+                      where: str = "TRUE") -> str:
+    """DuckDB twin of span_dedup, deduping on span STRINGS (no hashing) —
+    an independent algorithm: window row_number for first-occurrence
+    instead of min-struct aggregation."""
+    k = span_sents
+    sents = (
+        f"list_filter(list_transform(regexp_extract_all({text_col},"
+        f" '{SENTENCE_RE}'), s -> trim(s)), s -> s != '')"
+    )
+    span = " || chr(31) || ".join(f"sents[i+{off}]" for off in range(k))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {sents} AS sents
+  FROM {table} WHERE {text_col} IS NOT NULL AND ({where})
+),
+occ AS (
+  SELECT _id, i AS span_idx, {span} AS span
+  FROM base, unnest(range(1, greatest(len(sents) - {k - 1}, 0) + 1)) AS t(i)
+),
+marked AS (
+  SELECT _id, span_idx,
+         row_number() OVER (PARTITION BY span ORDER BY _id, span_idx) AS rn,
+         count(*) OVER (PARTITION BY span) AS cnt
+  FROM occ
+),
+removed AS (
+  SELECT _id, list_sort(list_distinct(list(span_idx + off.o))) AS ridx
+  FROM marked, (SELECT unnest(range(0, {k})) AS o) off
+  WHERE cnt > 1 AND rn > 1
+  GROUP BY _id
+),
+joined AS (
+  SELECT b._id, b.sents, coalesce(r.ridx, []) AS ridx
+  FROM base b LEFT JOIN removed r USING (_id)
+)
+SELECT _id AS {id_col}, len(sents) AS n_sentences,
+       len(ridx) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(list_transform(range(1, len(sents) + 1),
+                     i -> CASE WHEN NOT list_contains(ridx, i)
+                               THEN sents[i] END),
+                     x -> x IS NOT NULL), ' '), '') AS deduped
+FROM joined
+"""

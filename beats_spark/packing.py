@@ -1,0 +1,150 @@
+"""Token-budget sequence packing: assemble documents into fixed-capacity
+training sequences (context windows).
+
+The packing itself is inherently sequential — bin state depends on every
+earlier doc — so it cannot be a pure Column expression. The distributed
+shape: documents are hash-bucketed (deterministically, by an md5 prefix of
+the id so the oracle can reproduce it), each bucket is packed INDEPENDENTLY
+by a next-fit pass inside `applyInPandas` (Arrow batches, one numpy pass
+per bucket — per-document work, never per-token), and sequence ids are
+globally unique as (bucket, bin). More bucket characters → more parallel
+groups (1 hex char = 16 buckets, 2 = 256, 3 = 4096); waste from per-bucket
+packing is at most one partially-filled final bin per bucket, negligible
+when buckets hold thousands of documents.
+
+Next-fit (not first-fit-decreasing) is the standard streaming choice for
+training-data packing: deterministic given the (bucket, doc_id) order,
+O(n), and exactly reproducible in SQL — the DuckDB oracle replays it with
+a recursive CTE (see `packing_oracle_sql`).
+
+No analogue in mjwolf/beats (training-data mandate).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
+    long_doc: str = "truncate",
+) -> DataFrame:
+    """Assign every document a training sequence id `(bucket, bin)` by
+    next-fit packing within deterministic hash buckets.
+
+    `long_doc` controls docs exceeding `capacity`: "truncate" packs them
+    as exactly `capacity` tokens (each fills a bin alone), "drop" removes
+    them. (To SPLIT long docs instead, explode them into ≤capacity chunks
+    upstream and pack the chunks — composition keeps this operator
+    single-purpose.) Output adds `bucket`, `bin`, `seq_id` and
+    `packed_tokens` (tokens this doc contributes to its bin)."""
+    if long_doc not in ("truncate", "drop"):
+        raise ValueError(f"unknown long_doc mode: {long_doc!r}")
+    if long_doc == "drop":
+        df = df.where(F.col(tokens_col) <= capacity)
+
+    bucket = F.substring(
+        F.md5(F.col(id_col).cast("string")), 1, bucket_chars
+    )
+    base = df.withColumn("bucket", bucket).withColumn(
+        "packed_tokens", F.least(F.col(tokens_col), F.lit(capacity))
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("bucket", StringType()),
+            StructField("packed_tokens", LongType()),
+            StructField("bin", IntegerType()),
+        ]
+    )
+
+    def _pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            bins = []
+            b, fill = 0, 0
+            # one pass per DOCUMENT (not token); python-level loop is fine
+            # at this granularity — a bucket of 1M docs is microseconds/doc
+            for t in pdf["packed_tokens"].to_numpy():
+                if fill + t > capacity and fill > 0:
+                    b, fill = b + 1, 0
+                fill += int(t)
+                bins.append(b)
+            pdf["bin"] = pd.array(bins, dtype="int32")
+            yield pdf[[id_col, "bucket", "packed_tokens", "bin"]]
+
+    packed = (
+        base.select(id_col, "bucket", F.col("packed_tokens").cast("long"))
+        .groupBy("bucket")
+        .applyInPandas(_pack, out_schema)
+    )
+    joined = base.drop("bucket", "packed_tokens").join(packed, id_col)
+    return joined.withColumn(
+        "seq_id", F.concat_ws("-", F.col("bucket"), F.col("bin"))
+    )
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Efficiency report: bins, docs, token totals, fill ratio."""
+    per_bin = packed.groupBy("seq_id").agg(
+        F.sum("packed_tokens").alias("fill"), F.count("*").alias("docs")
+    )
+    return per_bin.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("docs").alias("n_docs"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(F.sum("fill") / (F.count("*") * capacity), 6)
+            .alias("fill_ratio"),
+        F.max("fill").alias("max_fill"),
+    )
+
+
+def packing_oracle_sql(
+    source_sql: str,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_chars: int = 2,
+) -> str:
+    """Recursive-CTE replay of the identical next-fit packing (truncate
+    mode) over `source_sql` (must yield id_col + tokens_col). An
+    independent implementation of the same deterministic spec — sequential
+    replay vs Spark's bucketed parallel pass."""
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT {id_col},
+         substr(md5(CAST({id_col} AS VARCHAR)), 1, {bucket_chars}) AS bucket,
+         least({tokens_col}, {capacity}) AS packed_tokens,
+         row_number() OVER (
+           PARTITION BY substr(md5(CAST({id_col} AS VARCHAR)), 1, {bucket_chars})
+           ORDER BY {id_col}) AS rn
+  FROM ({source_sql})
+),
+pack AS (
+  SELECT {id_col}, bucket, packed_tokens, rn,
+         0 AS bin, packed_tokens AS fill
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.{id_col}, d.bucket, d.packed_tokens, d.rn,
+         CASE WHEN p.fill + d.packed_tokens > {capacity} AND p.fill > 0
+              THEN p.bin + 1 ELSE p.bin END AS bin,
+         CASE WHEN p.fill + d.packed_tokens > {capacity} AND p.fill > 0
+              THEN d.packed_tokens ELSE p.fill + d.packed_tokens END AS fill
+  FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT {id_col}, bucket, packed_tokens, bin,
+       bucket || '-' || bin AS seq_id
+FROM pack
+"""

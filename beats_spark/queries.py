@@ -1855,7 +1855,7 @@ def q_module_pensando_dfw(spark, sf_dir):
 
 @register(
     "repetition_quality",
-    """
+    r"""
 WITH docs2 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 4 = 0 THEN
@@ -1957,7 +1957,7 @@ def q_repetition_quality(spark, sf_dir):
 
 @register(
     "decontaminate",
-    """
+    r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents WHERE text IS NOT NULL AND doc_id < 1500
@@ -2102,6 +2102,217 @@ def q_gopher_filter(spark, sf_dir):
         F.count(F.when(has("punct_heavy"), 1)).alias("n_punct_heavy"),
         F.count(F.when(has("too_few_stopwords"), 1)).alias("n_few_stop"),
         F.count(F.when(has("repeated_ngram"), 1)).alias("n_rep_ngram"),
+    )
+
+
+_pii = X.pii_redact_sql("text")
+
+@register(
+    "pii_redact",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN t2 || ' src=10.' || (doc_id % 200)
+                || '.3.7 ssn 123-45-6789' ELSE t2 END AS text
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' Contact user'
+                      || doc_id || '@example.com or call 415-555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                    ELSE text END AS t2
+        FROM documents WHERE text IS NOT NULL AND doc_id < 2000)
+)
+SELECT doc_id, {_pii['n_email']} AS n_email, {_pii['n_ssn']} AS n_ssn,
+       {_pii['n_ipv4']} AS n_ipv4, {_pii['n_phone']} AS n_phone,
+       md5({_pii['redacted']}) AS red_md5
+FROM base
+""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrub-and-count (textops.pii_redact): emails / SSNs / IPv4s /
+    phone numbers redacted by an ordered regexp_replace chain, counts per
+    kind taken on the progressively-redacted text. PII is synthesized
+    deterministically into the docs (doc_id % 3 → email+phone, % 5 → ip+ssn)
+    identically on both sides; the oracle re-runs the chain in DuckDB/RE2
+    and compares per-doc counts plus an md5 of the redacted text. Map-only
+    scan, whole-stage codegen, no shuffle — the 100-TB shape."""
+    from beats_spark import textops as TX
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    t2 = F.when(
+        doc % 3 == 0,
+        F.concat(
+            F.col("text"), F.lit(" Contact user"), doc.cast("string"),
+            F.lit("@example.com or call 415-555-"),
+            F.lpad((doc % 10000).cast("string"), 4, "0"), F.lit("."),
+        ),
+    ).otherwise(F.col("text"))
+    injected = F.when(
+        doc % 5 == 0,
+        F.concat(t2, F.lit(" src=10."), (doc % 200).cast("string"),
+                 F.lit(".3.7 ssn 123-45-6789")),
+    ).otherwise(t2)
+    out = TX.pii_redact(docs.withColumn("text", injected))
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
+_c4 = X.c4_clean_sql("text")
+
+@register(
+    "c4_clean",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         'The first line has exactly enough words to stay.' || chr(10)
+         || substr(text, 1, 60) || chr(10)
+         || 'A second good line with plenty of words ends here!' || chr(10)
+         || CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum'
+                 ELSE 'A third keeper line with plenty of words right here.'
+            END || chr(10)
+         || CASE WHEN doc_id % 11 = 0
+                 THEN 'This javascript heavy line still has many words today.'
+                 ELSE 'Yet another keeper line with sufficient words included.'
+            END AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id < 2000
+)
+SELECT doc_id, {_c4['n_lines_kept']} AS n_lines_kept,
+       {_c4['keep']} AS keep, md5({_c4['cleaned']}) AS clean_md5
+FROM base
+""",
+)
+def q_c4_clean(spark, sf_dir):
+    """C4-style line/page cleaning (textops.c4_clean, Raffel et al. 2020
+    public rules): terminal-punctuation + ≥5-word + no-javascript line
+    filter, lorem-ipsum / curly-brace / <3-surviving-lines page drop.
+    Pages are synthesized deterministically (doc text as a mid line that
+    usually lacks terminal punctuation; doc_id % 7 plants lorem ipsum,
+    % 11 a javascript line) identically on both sides; oracle compares
+    per-doc kept-line count, keep flag, and md5 of the cleaned text."""
+    from beats_spark import textops as TX
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    page = F.concat_ws(
+        "\n",
+        F.lit("The first line has exactly enough words to stay."),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("A second good line with plenty of words ends here!"),
+        F.when(doc % 7 == 0, F.lit("lorem ipsum")).otherwise(
+            F.lit("A third keeper line with plenty of words right here.")
+        ),
+        F.when(
+            doc % 11 == 0,
+            F.lit("This javascript heavy line still has many words today."),
+        ).otherwise(
+            F.lit("Yet another keeper line with sufficient words included.")
+        ),
+    )
+    out = TX.c4_clean(docs.withColumn("text", page))
+    return out.select(
+        "doc_id", "n_lines_kept", "keep",
+        F.md5("cleaned").alias("clean_md5"),
+    )
+
+
+_url = X.url_blocklist_sql()
+
+@register(
+    "url_blocklist",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' see https://ads.Tracker.example/p?i=' || doc_id
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' and https://good.example.org/path' ELSE '' END
+         || CASE WHEN doc_id % 12 = 0
+                 THEN ' plus http://seo-farm.example/' ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL AND doc_id < 2000
+)
+SELECT doc_id, len({_url['url_hosts']}) AS n_hosts,
+       {_url['url_hosts']}[1] AS first_host,
+       {_url['blocked_url']} AS blocked_url
+FROM base
+""",
+)
+def q_url_blocklist(spark, sf_dir):
+    """URL/domain blocklist flag (textops.url_blocklist_flag): hosts of
+    every http(s) URL extracted and matched against a blocklist compiled
+    into the plan as one alternation regex (suffix semantics: subdomains
+    of a blocked domain are blocked) — zero joins, map-only, the same
+    InSet-in-plan strategy as registered_domain. URLs are synthesized
+    deterministically (% 4 → blocked tracker w/ case-folding, % 9 → clean
+    host, % 12 → blocked bare host); oracle compares host count, first
+    host, and the flag per doc."""
+    from beats_spark import textops as TX
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc % 4 == 0,
+               F.concat(F.lit(" see https://ads.Tracker.example/p?i="),
+                        doc.cast("string"))).otherwise(F.lit("")),
+        F.when(doc % 9 == 0,
+               F.lit(" and https://good.example.org/path")).otherwise(F.lit("")),
+        F.when(doc % 12 == 0,
+               F.lit(" plus http://seo-farm.example/")).otherwise(F.lit("")),
+    )
+    out = TX.url_blocklist_flag(docs.withColumn("text", injected))
+    return out.select(
+        "doc_id", F.size("url_hosts").alias("n_hosts"),
+        F.try_element_at("url_hosts", F.lit(1)).alias("first_host"),
+        "blocked_url",
+    )
+
+
+_SPAN_COMMON = (" Common alpha sentence one. Common beta sentence two."
+                " Common gamma sentence three.")
+
+@register(
+    "span_dedup",
+    "SELECT doc_id, n_sentences, n_removed, md5(deduped) AS dedup_md5 FROM ("
+    + D.span_dedup_oracle(
+        table=(
+            "(SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN text || '"
+            + _SPAN_COMMON + "' ELSE text END AS text"
+            " FROM documents WHERE doc_id < 2000) s"
+        )
+    )
+    + ")",
+)
+def q_span_dedup(spark, sf_dir):
+    """C4 three-sentence-span global dedup (dedup.span_dedup): every doc_id
+    % 6 doc gets the same planted 3-sentence tail, so its spans duplicate
+    corpus-wide and all but the first occurrence lose those sentences. The
+    oracle is an independent algorithm (window row_number first-occurrence
+    over span STRINGS vs Spark's min-struct aggregation over xxhash64) —
+    per-doc sentence counts, removed counts, and md5 of the rebuilt text
+    must all agree."""
+    from beats_spark import dedup as D
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    injected = F.when(
+        doc % 6 == 0, F.concat(F.col("text"), F.lit(_SPAN_COMMON))
+    ).otherwise(F.col("text"))
+    out = D.span_dedup(docs.withColumn("text", injected))
+    return out.select(
+        "doc_id", "n_sentences", "n_removed",
+        F.md5("deduped").alias("dedup_md5"),
     )
 
 

@@ -340,3 +340,176 @@ def gopher_filter(
     ))
     out = out.withColumn("drop_reasons", reasons)
     return out.withColumn("keep", F.size("drop_reasons") == 0)
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (kind, regex, replacement) — applied IN ORDER, each over the output of the
+# previous redaction, so a span can only be claimed by one kind (an IPv4
+# never double-counts as a phone number). Patterns are deliberately limited
+# to syntax with identical semantics in Java regex (Spark, codegen) and RE2
+# (DuckDB oracle): no backreferences, no lookaround, ASCII classes only
+# (Java's \b is Unicode-aware, RE2's is ASCII — identical on ASCII text,
+# which is what the redaction targets are).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    ("phone", r"\+?\d{1,3}[ .\-]?\(\d{3}\)[ .\-]?\d{3}[ .\-]?\d{4}"
+              r"|\b\d{3}[.\-]\d{3}[.\-]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               target: str = "redacted") -> DataFrame:
+    """Redact emails / SSNs / IPv4s / phone numbers from ``text_col`` into
+    ``target`` and emit one ``n_<kind>`` count column per pattern.
+
+    Training-data pipelines run this before any tokenization; at 100 TB it
+    must be a map-only scan, and it is: a regexp_count + regexp_replace
+    chain per kind, all JVM whole-stage codegen, no shuffle, no UDF.
+    Counts are taken on the progressively-redacted text (replacements
+    performed at that step), which keeps Spark and the DuckDB oracle
+    bit-identical under overlapping patterns. Semantics follow the same
+    scrub-and-count shape as Beats' truncate/replace field processors
+    (reference libbeat/processors/actions/replace.go:60-76: regex replace
+    per configured field), generalized to a pattern bank."""
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select("*", *counts, cur.alias(target))
+
+
+def pii_redact_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB fragments: {n_<kind>: expr, redacted: expr} — same staged
+    order as pii_redact."""
+    cur = text_col
+    out: dict[str, str] = {}
+    for kind, pat, token in PII_PATTERNS:
+        out[f"n_{kind}"] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    out["redacted"] = cur
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020, public corpus-cleaning rules)
+# ---------------------------------------------------------------------------
+
+# a kept line must end in terminal punctuation
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_clean(df: DataFrame, text_col: str = "text",
+             min_words_per_line: int = 5,
+             min_lines: int = 3) -> DataFrame:
+    """C4 line/page cleaning: keep only lines that end in terminal
+    punctuation, have ≥ ``min_words_per_line`` words and don't mention
+    javascript; drop the whole page when fewer than ``min_lines`` lines
+    survive, or it contains "lorem ipsum" or a curly brace. Emits
+    ``cleaned`` (kept lines re-joined), ``n_lines_kept`` and ``keep``.
+
+    Shape: per-line predicates via array filter over split lines — an
+    interpreted HOF, but the per-element work is a handful of cheap
+    comparisons, and the alternative (explode → filter → groupBy
+    collect_list) shuffles the entire corpus twice; the same trade that
+    made the fold win in doc_fingerprint. Map-only, no exchange."""
+    trimmed = F.transform(F.split(F.col(text_col), "\n"),
+                          lambda ln: F.trim(ln))
+    kept = F.filter(
+        trimmed,
+        lambda t: t.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+        & ~F.lower(t).contains("javascript"),
+    )
+    lorem = F.lower(F.col(text_col)).contains("lorem ipsum")
+    brace = F.col(text_col).contains("{")
+    out = (
+        df.withColumn("cleaned", F.array_join(kept, "\n"))
+        .withColumn("n_lines_kept", F.size(kept))
+    )
+    return out.withColumn(
+        "keep",
+        F.coalesce(
+            (F.col("n_lines_kept") >= min_lines) & ~lorem & ~brace,
+            F.lit(False),
+        ),
+    )
+
+
+def c4_clean_sql(text_col: str = "text", min_words_per_line: int = 5,
+                 min_lines: int = 3) -> dict[str, str]:
+    """DuckDB fragments computing the identical cleaning."""
+    kept = (
+        f"list_filter(list_transform(string_split({text_col}, chr(10)),"
+        f" x -> trim(x)),"
+        f" t -> regexp_matches(t, '{C4_TERMINAL_RE}')"
+        f" AND len(regexp_split_to_array(t, '\\s+')) >= {min_words_per_line}"
+        f" AND NOT contains(lower(t), 'javascript'))"
+    )
+    return {
+        "cleaned": f"array_to_string({kept}, chr(10))",
+        "n_lines_kept": f"len({kept})",
+        "keep": (
+            f"coalesce(len({kept}) >= {min_lines}"
+            f" AND NOT contains(lower({text_col}), 'lorem ipsum')"
+            f" AND NOT contains({text_col}, '{{'), FALSE)"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# URL / domain blocklist flag
+# ---------------------------------------------------------------------------
+
+DEFAULT_URL_BLOCKLIST = [
+    "spam-mill.example", "seo-farm.example", "tracker.example",
+]
+
+
+def url_blocklist_flag(df: DataFrame, blocklist: list[str] | None = None,
+                       text_col: str = "text") -> DataFrame:
+    """Flag documents containing a URL whose host is (a subdomain of) a
+    blocklisted domain. Emits ``url_hosts`` (lowercased hosts of every
+    http(s) URL in the text) and ``blocked_url``.
+
+    The blocklist is compiled INTO the plan as one alternation regex —
+    the same zero-join strategy as registered_domain's InSet-compiled PSL
+    (operators/network.py:160): at 100 TB this is a map-only scan with no
+    broadcast, no shuffle, nothing on the driver but the pattern string.
+    For blocklists too large to inline (millions of entries), compose with
+    the broadcast-join shape in enrich.translate instead."""
+    domains = blocklist if blocklist is not None else DEFAULT_URL_BLOCKLIST
+    hosts = F.transform(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"https?://([^/\s:]+)"), F.lit(1)
+        ),
+        lambda h: F.lower(h),
+    )
+    pat = r"(^|\.)(" + "|".join(d.replace(".", r"\.") for d in domains) + ")$"
+    out = df.withColumn("url_hosts", hosts)
+    return out.withColumn(
+        "blocked_url",
+        F.coalesce(F.exists(F.col("url_hosts"), lambda h: h.rlike(pat)),
+                   F.lit(False)),
+    )
+
+
+def url_blocklist_sql(blocklist: list[str] | None = None,
+                      text_col: str = "text") -> dict[str, str]:
+    domains = blocklist if blocklist is not None else DEFAULT_URL_BLOCKLIST
+    hosts = (
+        f"list_transform(regexp_extract_all({text_col},"
+        f" 'https?://([^/\\s:]+)', 1), h -> lower(h))"
+    )
+    pat = r"(^|\.)(" + "|".join(d.replace(".", r"\.") for d in domains) + ")$"
+    return {
+        "url_hosts": hosts,
+        "blocked_url": (
+            f"coalesce(len(list_filter({hosts},"
+            f" h -> regexp_matches(h, '{pat}'))) > 0, FALSE)"
+        ),
+    }

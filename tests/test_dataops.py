@@ -274,3 +274,100 @@ def test_gopher_filter(spark):
     assert not rows[3].keep
     assert "punct_heavy" in rows[4].drop_reasons
     assert "too_few_stopwords" in rows[4].drop_reasons
+
+
+def test_pii_redact(spark):
+    rows = [
+        (0, "mail bob.smith+x@mail-example.co.uk and 415-555-2671 end"),
+        (1, "ssn 123-45-6789 then ip 10.0.12.7 here"),
+        (2, "clean text with nothing sensitive at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.pii_redact(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert got[0]["redacted"] == "mail <EMAIL> and <PHONE> end"
+    assert got[1]["n_ssn"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[1]["redacted"] == "ssn <SSN> then ip <IPV4> here"
+    # ordered chain: the SSN is claimed by <SSN>, never re-counted as phone
+    assert got[1]["n_phone"] == 0
+    assert got[2]["redacted"] == rows[2][1]
+    assert got[2]["n_email"] == got[2]["n_ipv4"] == 0
+    assert got[3]["redacted"] is None and got[3]["n_email"] is None
+
+
+def test_c4_clean(spark):
+    page = "\n".join([
+        "A good first line with plenty of words right here.",
+        "no terminal punctuation on this line with many words",
+        "Too short line.",
+        "A javascript mention drops this line despite enough words.",
+        "A second keeper line with plenty of words ends here!",
+        "And a third keeper line with enough words survives too.",
+    ])
+    rows = [
+        (0, page),
+        (1, page + "\nlorem ipsum dolor"),            # page-level drop
+        (2, page.replace("good", "braced {")),        # curly brace drop
+        (3, "One keeper line with enough words ends in a period."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.c4_clean(df).collect()}
+    assert got[0]["n_lines_kept"] == 3 and got[0]["keep"]
+    assert got[0]["cleaned"].splitlines()[0].startswith("A good first line")
+    assert got[1]["n_lines_kept"] == 3 and not got[1]["keep"]
+    assert not got[2]["keep"]
+    assert got[3]["n_lines_kept"] == 1 and not got[3]["keep"]  # < min_lines
+
+
+def test_url_blocklist_flag(spark):
+    rows = [
+        (0, "see https://ads.Tracker.example/p?q=1 and http://ok.example.org/x"),
+        (1, "bare http://seo-farm.example/ hit"),
+        (2, "subdomainish https://nottracker.example/y is NOT blocked"),
+        (3, "no urls at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in X.url_blocklist_flag(df).collect()}
+    assert got[0]["blocked_url"] and got[0]["url_hosts"] == [
+        "ads.tracker.example", "ok.example.org"]
+    assert got[1]["blocked_url"]
+    # suffix match is dot-anchored: nottracker.example != *.tracker.example
+    assert not got[2]["blocked_url"]
+    assert not got[3]["blocked_url"] and got[3]["url_hosts"] == []
+    assert not got[4]["blocked_url"]
+
+
+def test_span_dedup(spark):
+    rows = [
+        (0, "Alpha one here. Beta two here! Gamma three here? Delta four here. Epsilon five."),
+        # shares the Beta-Gamma-Delta span with doc 0
+        (1, "Prefix sentence. Beta two here! Gamma three here? Delta four here. Suffix sentence."),
+        (2, "Short doc. Only two sentences."),
+        # full duplicate of doc 0: every sentence removed
+        (3, "Alpha one here. Beta two here! Gamma three here? Delta four here. Epsilon five."),
+        # internal repetition: 5 identical sentences = 3 identical spans;
+        # the first span (sentences 1-3) is kept, spans at 2 and 3 remove
+        # sentences 2..5
+        (5, "Rep. Rep. Rep. Rep. Rep."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.span_dedup(df).collect()}
+    assert got[0]["n_removed"] == 0 and got[0]["deduped"] == rows[0][1]
+    assert got[1]["n_removed"] == 3
+    assert got[1]["deduped"] == "Prefix sentence. Suffix sentence."
+    assert got[2]["n_removed"] == 0  # < 3 sentences: no spans, untouched
+    assert got[3]["n_removed"] == 5 and got[3]["deduped"] == ""
+    assert got[5]["n_removed"] == 4 and got[5]["deduped"] == "Rep."
+
+
+def test_span_dedup_first_occurrence_owner(spark):
+    # ownership is min (doc_id, span_idx): the lower doc_id keeps the span
+    # even when it appears later inside that document
+    shared = "Common one here. Common two here. Common three here."
+    rows = [(7, "Lead in sentence. " + shared), (8, shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.span_dedup(df).collect()}
+    assert got[7]["n_removed"] == 0
+    assert got[8]["n_removed"] == 3 and got[8]["deduped"] == ""

@@ -1,0 +1,148 @@
+"""Deterministic sampling + sequence packing: invariants and oracle
+replays."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from beats_spark import packing as P
+from beats_spark import sampling as S
+
+
+def test_deterministic_sample_stability_and_rate(spark):
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    a = S.deterministic_sample(df, 0.25, salt="s1")
+    b = S.deterministic_sample(df.repartition(13), 0.25, salt="s1")
+    ka = {r["doc_id"] for r in a.where("sampled").collect()}
+    kb = {r["doc_id"] for r in b.where("sampled").collect()}
+    assert ka == kb  # partitioning-independent
+    assert 0.2 < len(ka) / 4000 < 0.3  # close to the nominal rate
+    # independent salts give a (near-)independent sample
+    kc = {
+        r["doc_id"]
+        for r in S.deterministic_sample(df, 0.25, salt="s2")
+        .where("sampled").collect()
+    }
+    assert kc != ka
+    overlap = len(ka & kc) / 4000
+    assert 0.02 < overlap < 0.13  # ~rate^2 = 0.0625 expected
+
+
+def test_deterministic_sample_edge_rates(spark):
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    assert S.deterministic_sample(df, 1.0).where("sampled").count() == 50
+    assert S.deterministic_sample(df, 0.0).where("sampled").count() == 0
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    rates = {"web": 0.5, "code": 1.0, "forum": 0.1}
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("code"), F.lit("forum"), F.lit("other")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("source"),
+    )
+    got = (
+        S.stratified_sample(df, rates, salt="mix", default_rate=0.9)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.count(F.when(F.col("sampled"), 1)).alias("k"))
+        .collect()
+    )
+    con = duckdb.connect()
+    rule = S.stratified_sample_sql(rates, salt="mix", default_rate=0.9)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            "SELECT source, count(*), count(CASE WHEN " + rule + " THEN 1 END) "
+            "FROM (SELECT range AS doc_id, ['web','code','forum','other']"
+            "[(range % 4) + 1] AS source FROM range(3000)) GROUP BY 1"
+        ).fetchall()
+    }
+    assert {r["source"]: (r["n"], r["k"]) for r in got} == want
+    # per-stratum rates actually bite
+    by = {r["source"]: r["k"] / r["n"] for r in got}
+    assert by["code"] == 1.0 and by["forum"] < 0.2 and 0.4 < by["web"] < 0.6
+
+
+def test_pack_sequences_invariants(spark):
+    cap = 100
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    packed = P.pack_sequences(df, cap, bucket_chars=1)
+    rows = packed.collect()
+    assert len(rows) == 500  # every doc packed exactly once
+    fills = {}
+    for r in rows:
+        fills.setdefault(r["seq_id"], 0)
+        fills[r["seq_id"]] += r["packed_tokens"]
+    assert all(f <= cap for f in fills.values())
+    # next-fit within a bucket never leaves two consecutive bins both
+    # under half-full... weaker + always true: bins per bucket are dense 0..n
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], set()).add(r["bin"])
+    for bins in by_bucket.values():
+        assert bins == set(range(len(bins)))
+    stats = P.packing_stats(packed, cap).collect()[0]
+    assert stats["n_docs"] == 500
+    assert stats["total_tokens"] == sum(f for f in fills.values())
+    assert stats["max_fill"] <= cap
+
+
+def test_pack_sequences_long_docs(spark):
+    df = spark.createDataFrame(
+        [(1, 250), (2, 40), (3, 999)], "doc_id long, n_tokens long"
+    )
+    trunc = {r["doc_id"]: r for r in P.pack_sequences(df, 100).collect()}
+    assert trunc[1]["packed_tokens"] == 100 and trunc[3]["packed_tokens"] == 100
+    dropped = P.pack_sequences(df, 100, long_doc="drop").collect()
+    assert {r["doc_id"] for r in dropped} == {2}
+    with pytest.raises(ValueError):
+        P.pack_sequences(df, 100, long_doc="explode")
+
+
+def test_pack_sequences_matches_recursive_cte(spark):
+    cap = 128
+    df = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 31 + 7, F.lit(200)) + 1).alias("n_tokens"),
+    )
+    got = {
+        r["doc_id"]: (r["bucket"], r["packed_tokens"], r["bin"], r["seq_id"])
+        for r in P.pack_sequences(df, cap, bucket_chars=1).select(
+            "doc_id", "bucket", "packed_tokens", "bin", "seq_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = P.packing_oracle_sql(
+        "SELECT range AS doc_id, ((range * 31 + 7) % 200) + 1 AS n_tokens "
+        "FROM range(800)",
+        cap, bucket_chars=1,
+    )
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1,
+                    max_size=60),
+    cap=st.integers(min_value=50, max_value=200),
+)
+def test_pack_sequences_property(spark, tokens, cap):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    rows = P.pack_sequences(df, cap, bucket_chars=1).collect()
+    assert len(rows) == len(tokens)
+    fills = {}
+    for r in rows:
+        assert 1 <= r["packed_tokens"] <= cap
+        fills[r["seq_id"]] = fills.get(r["seq_id"], 0) + r["packed_tokens"]
+    assert all(f <= cap for f in fills.values())

@@ -248,3 +248,41 @@ def test_decontaminate_broadcasts_probe(spark):
     assert "CartesianProduct" not in nodes
     # gram payloads travel as xxhash64 longs, not strings
     assert "xxhash64" in plan
+
+
+def test_curation_scrubbers_map_only(spark):
+    # pii_redact / c4_clean / url_blocklist_flag are corpus scrubbers that
+    # run before anything else in a training-data pipeline: at 100 TB they
+    # must stay single-pass map-only scans — no exchange, no join, no
+    # Python, blocklist/patterns compiled into the plan
+    from beats_spark.textops import c4_clean, pii_redact, url_blocklist_flag
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    for op in (pii_redact, c4_clean, url_blocklist_flag):
+        nodes = _nodes(_formatted_plan(op(docs)))
+        assert "Exchange" not in nodes, op.__name__
+        assert not any("Join" in n for n in nodes), op.__name__
+        assert not any("Python" in n for n in nodes), op.__name__
+
+
+def test_span_dedup_text_never_shuffles(spark):
+    # the first-occurrence resolution and removal-index aggregation must
+    # exchange bare (hash, id, idx) rows — neither the sentence array nor
+    # the text column may ride any shuffle; text joins back BY ID only
+    import re
+
+    import beats_spark.dedup as D
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted_plan(
+        D.span_dedup(docs).select("doc_id", "n_removed", "deduped")
+    )
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "broadcast" not in b.splitlines()[0]
+    ]
+    assert exchanges  # the op does shuffle — just never the text
+    for b in exchanges:
+        assert "_sents" not in b and "text" not in b, b
