@@ -870,6 +870,8 @@ def q_embedding_dedup(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 import beats_spark.dedup as D
+import beats_spark.packing as PK
+import beats_spark.sampling as SM
 import beats_spark.similarity as SIM
 import beats_spark.textops as X
 
@@ -2314,6 +2316,60 @@ def q_span_dedup(spark, sf_dir):
         "doc_id", "n_sentences", "n_removed",
         F.md5("deduped").alias("dedup_md5"),
     )
+
+
+_MIX_RATES = {"src1": 1.0, "src2": 0.5, "src3": 0.25, "src4": 0.1}
+
+@register(
+    "stratified_sample",
+    "SELECT source, count(*) AS n_docs, "
+    "count(CASE WHEN "
+    + SM.stratified_sample_sql(_MIX_RATES, salt="mix-v1", default_rate=0.75)
+    + " THEN 1 END) AS n_kept FROM documents GROUP BY source",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (sampling.stratified_sample) —
+    the training-mix step: each source stratum keeps its own rate, the
+    decision is md5(id:salt)-thresholded so it is identical on any
+    partitioning/engine. Oracle recomputes every decision in DuckDB and
+    compares per-source kept counts (md5 of identical input strings is
+    engine-independent, so counts match exactly, not statistically)."""
+    from beats_spark import sampling as SM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SM.stratified_sample(docs, _MIX_RATES, salt="mix-v1",
+                               default_rate=0.75)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("sampled"), 1)).alias("n_kept"),
+    )
+
+
+@register(
+    "pack_sequences",
+    PK.packing_oracle_sql(
+        "SELECT doc_id, " + X.token_count_sql("text")
+        + " AS n_tokens FROM documents"
+        " WHERE text IS NOT NULL AND doc_id < 2000",
+        capacity=512, bucket_chars=1,
+    ),
+)
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (packing.pack_sequences): docs are
+    hash-bucketed by an md5 prefix of doc_id and next-fit packed into
+    512-token training sequences inside applyInPandas. The oracle replays
+    the identical deterministic spec with a DuckDB recursive CTE
+    (sequential replay vs Spark's bucketed parallel pass) and compares
+    every doc's bucket, truncated token count, bin and seq_id."""
+    from beats_spark import packing as PK
+    from beats_spark import textops as TX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 2000) & F.col("text").isNotNull()
+    )
+    toks = TX.token_count(docs).select("doc_id", "n_tokens")
+    out = PK.pack_sequences(toks, capacity=512, bucket_chars=1)
+    return out.select("doc_id", "bucket", "packed_tokens", "bin", "seq_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
