@@ -625,10 +625,12 @@ def decontaminate(
     )
 
 
-# sentence tokenizer shared by span_dedup and its DuckDB oracle: runs of
-# non-terminal chars plus their trailing terminal punctuation — expressible
-# identically in Java regex and RE2 (no lookaround)
-SENTENCE_RE = r"[^.!?]+[.!?]*"
+# sentence tokenizer shared by span_dedup and its DuckDB oracle: runs up to
+# and including trailing terminal punctuation, plus a possible unterminated
+# tail — the two alternatives partition EVERY character of the text (no
+# content can be lost), and the syntax is expressible identically in Java
+# regex and RE2 (no lookaround)
+SENTENCE_RE = r"[^.!?]*[.!?]+|[^.!?]+"
 _SPAN_SEP = "\x1f"
 
 

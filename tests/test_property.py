@@ -196,3 +196,81 @@ def test_decontaminate_self_probe_flags_everything(spark, texts):
     out = decontaminate(docs, docs, n=3).collect()
     for r in out:
         assert r.contaminated is True
+
+
+_pii_text = st.text(
+    alphabet="ab1@. -x\n", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_pii_text, min_size=1, max_size=8))
+def test_pii_redact_total_and_idempotent(spark, texts):
+    # after one pass no pattern matches remain (replacement tokens contain
+    # no digits or '@', so they can't manufacture new matches), hence a
+    # second pass is the identity
+    import pyspark.sql.functions as SF
+
+    from beats_spark.textops import PII_PATTERNS, pii_redact
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = pii_redact(docs).select(
+        "doc_id",
+        SF.col("redacted").alias("text"),
+        *[SF.col(f"n_{k}").alias(f"first_n_{k}") for k, _, _ in PII_PATTERNS],
+    )
+    twice = pii_redact(once).collect()
+    for r in twice:
+        for kind, _, _ in PII_PATTERNS:
+            assert r[f"n_{kind}"] in (0, None), (kind, r["text"])
+        assert r["redacted"] == r["text"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab c.!{\n", min_size=0, max_size=80),
+                min_size=1, max_size=8))
+def test_c4_clean_kept_lines_all_qualify(spark, texts):
+    # every surviving line must itself satisfy the line rules, and keep
+    # implies >= 3 surviving lines and no page-level violation
+    from beats_spark.textops import c4_clean
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in c4_clean(docs).collect():
+        kept = r["cleaned"].split("\n") if r["cleaned"] else []
+        assert r["n_lines_kept"] == len(kept)
+        for ln in kept:
+            assert ln and ln[-1] in '.!?"'
+            assert len(ln.split()) >= 5
+            assert "javascript" not in ln.lower()
+        if r["keep"]:
+            assert len(kept) >= 3
+            assert "{" not in (r["text"] or "")
+            assert "lorem ipsum" not in (r["text"] or "").lower()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="aB c.!? ", min_size=0, max_size=100),
+                min_size=1, max_size=8))
+def test_span_dedup_no_dups_is_identity(spark, texts):
+    # token conservation: removed + kept sentence counts always reconcile,
+    # and a corpus with no duplicated span comes back intact
+    from beats_spark.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = span_dedup(docs).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_sentences"]
+        if r["n_removed"] == 0:
+            # untouched docs come back whitespace-normalized but intact:
+            # the sentence regex partitions every character, and rejoining
+            # only inserts/normalizes whitespace — the non-whitespace char
+            # sequence is preserved exactly
+            assert "".join(r["deduped"].split()) == \
+                "".join((r["text"] or "").split())
