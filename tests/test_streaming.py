@@ -212,3 +212,53 @@ def test_stream_exact_dedup(spark, source_dir, tmp_path):
     # arrival-order-dependent in streaming, min-id in batch)
     batch_keys = _key_counts(load_transcripts(spark, SF_SMOKE))
     assert got.count() == batch_keys.count()
+
+
+def test_stream_curation_scrubbers_equal_batch(spark, tmp_path):
+    # pii_redact / c4_clean / url_blocklist / deterministic_sample are
+    # pure Column expressions — they must compose onto a streaming
+    # DataFrame unchanged (no state, no watermark) and emit byte-identical
+    # results to the batch run over the same files
+    from beats_spark.sampling import deterministic_sample
+    from beats_spark.textops import c4_clean, pii_redact, url_blocklist_flag
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (0, "Mail a@b.example now. See https://x.tracker.example/p today.\n"
+            "A second good line with plenty of words ends here!"),
+        (1, "ssn 123-45-6789 in line one with many words here.\n"
+            "lorem ipsum dolor sit amet."),
+        (2, "Nothing sensitive in this one at all, honestly speaking."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(src)
+
+    def curate(frame):
+        out = pii_redact(frame)
+        out = c4_clean(out.withColumnRenamed("redacted", "clean_input"),
+                       text_col="clean_input")
+        out = url_blocklist_flag(out, text_col="clean_input")
+        return deterministic_sample(out, 0.5, salt="s").select(
+            "doc_id", "n_email", "n_ssn", "cleaned", "n_lines_kept",
+            "keep", "blocked_url", "sampled",
+        )
+
+    batch = {r["doc_id"]: r for r in curate(spark.read.parquet(src)).collect()}
+
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        curate(sdf)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r
+        for r in spark.sql("select * from curated_stream").collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        assert streamed[k].asDict() == batch[k].asDict()
+    assert streamed[0]["blocked_url"] and streamed[0]["n_email"] == 1
