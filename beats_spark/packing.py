@@ -148,3 +148,79 @@ SELECT {id_col}, bucket, packed_tokens, bin,
        bucket || '-' || bin AS seq_id
 FROM pack
 """
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into ≤max_tokens whitespace-token chunks with
+    `overlap` tokens of context repeated between consecutive chunks — the
+    upstream step that makes every unit packable by `pack_sequences`
+    (whose truncate mode then never truncates).
+
+    Map-only: token array, chunk starts and slices are all built in-array
+    per row, then one posexplode — no shuffle, no UDF. Chunk count is
+    ceil((n_tokens - overlap) / (max_tokens - overlap)); a doc that fits
+    yields exactly itself (chunk 0, whitespace-normalized)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * step + 1
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(toks, s, max_tokens), " "),
+    )
+    base = df.withColumn("_chunks", chunks).withColumn(
+        "n_doc_tokens", n
+    )
+    out = base.select(
+        id_col, "n_doc_tokens",
+        F.posexplode("_chunks").alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_chunk_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")),
+    )
+
+
+def chunk_documents_sql(
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of chunk_documents (1-based list slicing; same ceil
+    formula)."""
+    step = max_tokens - overlap
+    return f"""
+WITH base AS (
+  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL AND ({where})
+),
+sized AS (
+  SELECT {id_col}, toks, len(toks) AS n,
+         greatest(CAST(ceil((len(toks) - {overlap}) / {step}.0) AS INT), 1)
+           AS n_chunks
+  FROM base
+)
+SELECT {id_col}, n AS n_doc_tokens,
+       i AS chunk_idx,
+       array_to_string(toks[i * {step} + 1 : i * {step} + {max_tokens}], ' ')
+         AS chunk_text,
+       len(toks[i * {step} + 1 : i * {step} + {max_tokens}])
+         AS n_chunk_tokens
+FROM sized, unnest(range(0, n_chunks)) AS t(i)
+"""

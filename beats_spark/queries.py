@@ -2372,6 +2372,72 @@ def q_pack_sequences(spark, sf_dir):
     return out.select("doc_id", "bucket", "packed_tokens", "bin", "seq_id")
 
 
+@register(
+    "chunk_documents",
+    "SELECT doc_id, chunk_idx, n_doc_tokens, n_chunk_tokens,"
+    " md5(chunk_text) AS chunk_md5 FROM ("
+    + PK.chunk_documents_sql(max_tokens=64, overlap=8,
+                             where="doc_id < 1500")
+    + ")",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token chunking (packing.chunk_documents): long docs
+    split into ≤64-token chunks with 8 tokens of repeated context — the
+    upstream of pack_sequences. Map-only (in-array slices + one
+    posexplode); oracle rebuilds every chunk with DuckDB list slicing and
+    compares per-chunk token counts + md5 of the chunk text."""
+    from beats_spark import packing as PK2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 1500) & F.col("text").isNotNull()
+    )
+    out = PK2.chunk_documents(docs, max_tokens=64, overlap=8)
+    return out.select(
+        "doc_id", "chunk_idx", "n_doc_tokens", "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@register(
+    "normalize_unicode",
+    "SELECT doc_id, md5("
+    + X.normalize_unicode_sql(
+        "(CASE WHEN doc_id % 3 = 0 THEN text || ' Cafe' || chr(769)"
+        " || chr(7) || ' fin' ELSE text END)"
+    )
+    + ") AS norm_md5, length("
+    + X.normalize_unicode_sql(
+        "(CASE WHEN doc_id % 3 = 0 THEN text || ' Cafe' || chr(769)"
+        " || chr(7) || ' fin' ELSE text END)"
+    )
+    + ") AS norm_len FROM documents"
+    " WHERE text IS NOT NULL AND doc_id < 2000",
+)
+def q_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization + control strip (textops.normalize_unicode,
+    Arrow pandas_udf over Series.str.normalize): docs get a decomposed
+    combining-acute sequence and a BEL control char planted (doc_id % 3),
+    which NFC must compose and the strip must remove. Oracle: DuckDB's
+    native nfc_normalize over the identical injection — md5 and codepoint
+    length of the normalized text compared per doc."""
+    from beats_spark import textops as TX
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    injected = F.when(
+        doc % 3 == 0,
+        F.concat(F.col("text"), F.lit(" Café\x07 fin")),
+    ).otherwise(F.col("text"))
+    out = TX.normalize_unicode(docs.withColumn("text", injected))
+    return out.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").alias("norm_len"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

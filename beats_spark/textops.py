@@ -8,6 +8,7 @@ identical logic renders to DuckDB SQL for the correctness oracle — see
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -513,3 +514,43 @@ def url_blocklist_sql(blocklist: list[str] | None = None,
             f" h -> regexp_matches(h, '{pat}'))) > 0, FALSE)"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization
+# ---------------------------------------------------------------------------
+
+# C0 control characters except \t \n \r — stripped before normalization
+CONTROL_CHARS_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      form: str = "NFC",
+                      target: str = "norm_text") -> DataFrame:
+    """Canonical Unicode normalization for corpus text: strip C0 control
+    characters (keeping tab/newline/CR), then apply `form` (NFC default —
+    combining sequences composed, so visually-identical strings hash/dedup
+    identically downstream).
+
+    Spark has no normalization builtin, so the normalize step is a
+    vectorized Arrow `pandas_udf` over `pandas.Series.str.normalize`
+    (batch-at-a-time, never per-row Python); the control strip stays a
+    codegen'd regexp_replace. The DuckDB oracle uses its native
+    nfc_normalize (only NFC round-trips through the oracle; other forms
+    are pytest-pinned)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHARS_RE, "")
+    return df.withColumn(target, _norm(stripped))
+
+
+def normalize_unicode_sql(text_col: str = "text") -> str:
+    """DuckDB fragment: identical strip + NFC."""
+    return (
+        f"nfc_normalize(regexp_replace({text_col},"
+        f" '{CONTROL_CHARS_RE}', '', 'g'))"
+    )

@@ -371,3 +371,24 @@ def test_span_dedup_first_occurrence_owner(spark):
     got = {r["doc_id"]: r for r in D.span_dedup(df).collect()}
     assert got[7]["n_removed"] == 0
     assert got[8]["n_removed"] == 3 and got[8]["deduped"] == ""
+
+
+def test_normalize_unicode(spark):
+    rows = [
+        (0, "Café and ﬁne"),      # decomposed é; fi ligature
+        (1, "bell\x07 and null\x00 kept\ttab\nnewline"),
+        (2, "plain ascii"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["norm_text"] for r in X.normalize_unicode(df).collect()}
+    assert got[0] == "Café and ﬁne"  # NFC composes, ligature kept
+    assert got[1] == "bell and null kept\ttab\nnewline"
+    assert got[2] == "plain ascii"
+    assert got[3] is None
+    # NFKC additionally folds compatibility chars (ligature -> 'fi')
+    nfkc = {
+        r["doc_id"]: r["norm_text"]
+        for r in X.normalize_unicode(df, form="NFKC").collect()
+    }
+    assert nfkc[0] == "Café and fine"

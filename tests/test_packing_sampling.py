@@ -146,3 +146,48 @@ def test_pack_sequences_property(spark, tokens, cap):
         assert 1 <= r["packed_tokens"] <= cap
         fills[r["seq_id"]] = fills.get(r["seq_id"], 0) + r["packed_tokens"]
     assert all(f <= cap for f in fills.values())
+
+
+def test_chunk_documents_reconstruction(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc here")],
+                               "doc_id long, text string")
+    rows = sorted(
+        P.chunk_documents(df, max_tokens=40, overlap=10).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    one = [r for r in rows if r["doc_id"] == 1]
+    # ceil((100-10)/30) = 3 chunks
+    assert [r["chunk_idx"] for r in one] == [0, 1, 2]
+    assert all(r["n_chunk_tokens"] <= 40 for r in one)
+    # dropping the overlap prefix of every later chunk reconstructs the doc
+    toks = one[0]["chunk_text"].split()
+    for r in one[1:]:
+        ctoks = r["chunk_text"].split()
+        assert ctoks[:10] == toks[-10:]  # the repeated context
+        toks += ctoks[10:]
+    assert toks == text.split()
+    # a doc under the budget is exactly one whitespace-normalized chunk
+    two = [r for r in rows if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["chunk_text"] == "short doc here"
+    assert two[0]["chunk_idx"] == 0
+
+
+def test_chunk_documents_validates_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        P.chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_chunk_then_pack_never_truncates(spark):
+    cap = 32
+    text = " ".join(f"t{i}" for i in range(300))
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    chunks = P.chunk_documents(df, max_tokens=cap).select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("n_chunk_tokens").alias("n_tokens"),
+    )
+    packed = P.pack_sequences(chunks, cap, bucket_chars=1).collect()
+    # composition contract: no chunk exceeds capacity, so truncate mode
+    # packs every token
+    assert all(r["packed_tokens"] == r["n_tokens"] for r in packed)
