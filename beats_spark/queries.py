@@ -2438,6 +2438,169 @@ def q_normalize_unicode(spark, sf_dir):
     )
 
 
+_FUNNEL_RATES = {"src1": 1.0, "src2": 0.35, "src3": 0.0}
+
+def _funnel_oracle() -> str:
+    c4 = X.c4_clean_sql("norm_text")
+    qf = X.quality_features_sql("cleaned")
+    samp = SM.stratified_sample_sql(_FUNNEL_RATES, salt="funnel",
+                                    default_rate=0.8)
+    normkey = "trim(regexp_replace(lower(cleaned), '\\s+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN t2 || ' lorem ipsum' ELSE t2 END
+           AS text
+  FROM (
+    SELECT doc_id, source,
+           regexp_replace(
+             CASE WHEN doc_id % 9 = 0
+                  THEN 'duplicate corpus page about spark rows and tables'
+                       || ' repeated for the exact dedup stage to catch'
+                  ELSE text END,
+             '((\\S+\\s+){{7}}\\S+)\\s*', '\\1. ', 'g') AS t2
+    FROM documents WHERE text IS NOT NULL AND doc_id < 3000) s
+),
+norm AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_filter(list_transform(
+             regexp_extract_all({X.normalize_unicode_sql('text')},
+                                '{D.SENTENCE_RE}'), s -> trim(s)),
+             s -> s != ''), chr(10)) AS norm_text
+  FROM base
+),
+c4 AS (
+  SELECT doc_id, source, {c4['cleaned']} AS cleaned, {c4['keep']} AS f_c4
+  FROM norm
+),
+w AS (
+  SELECT doc_id, source, cleaned, f_c4,
+         f_c4 AND {qf['n_tokens']} >= 40
+              AND {qf['punct_ratio']} <= 0.3 AS f_q
+  FROM c4
+),
+reps AS (
+  SELECT {normkey} AS k, min(doc_id) AS keep_id
+  FROM w WHERE f_q GROUP BY 1
+),
+d AS (
+  SELECT w.*, coalesce(w.f_q AND w.doc_id = r.keep_id, FALSE) AS f_d
+  FROM w LEFT JOIN reps r ON {normkey} = r.k
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(cleaned)), '\\s+') AS t
+  FROM d WHERE f_d
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 7, 1) + 1),
+           i -> array_to_string(t[i:i+7], ' ')))) AS g
+  FROM toks
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE g IN (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+),
+f AS (
+  SELECT d.*, d.f_d AND c.doc_id IS NULL AS f_dec, {samp} AS sampled
+  FROM d LEFT JOIN contam c USING (doc_id)
+)
+SELECT count(*) AS n_input,
+       count(CASE WHEN f_c4 THEN 1 END) AS n_c4,
+       count(CASE WHEN f_q THEN 1 END) AS n_quality,
+       count(CASE WHEN f_d THEN 1 END) AS n_dedup,
+       count(CASE WHEN f_dec THEN 1 END) AS n_decontam,
+       count(CASE WHEN f_dec AND sampled THEN 1 END) AS n_sampled
+FROM f
+"""
+
+
+@register("curation_funnel", _funnel_oracle())
+def q_curation_funnel(spark, sf_dir):
+    """The training-data pipeline composed end-to-end: Unicode NFC
+    normalize → C4 line/page cleaning → quality thresholds → exact dedup
+    (first occurrence per normalized text) → 8-gram decontamination
+    against a planted probe slice (doc_id % 11 of the dedup survivors) →
+    stratified mix sampling. Emits the per-stage survivor funnel in ONE
+    pass over the corpus: every stage is a flag column (map-only except
+    the dedup key groupBy and the decontamination gram semi-join, both of
+    which shuffle bare hashes/ids), so the funnel costs one scan plus two
+    small exchanges regardless of stage count. The oracle rebuilds every
+    stage from the shared SQL fragments and recomputes all six counts."""
+    from beats_spark import dedup as D2
+    from beats_spark import sampling as SM2
+    from beats_spark import textops as TX
+
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 3000) & F.col("text").isNotNull()
+    ).select("doc_id", "source", "text")
+    # deterministic structure synthesis (the sf tables are punctuation-free
+    # token soup): every 8 tokens become a sentence; doc_id % 9 plants
+    # exact duplicates, % 13 plants a lorem-ipsum page drop
+    t2 = F.regexp_replace(
+        F.when(
+            doc % 9 == 0,
+            F.lit("duplicate corpus page about spark rows and tables"
+                  " repeated for the exact dedup stage to catch"),
+        ).otherwise(F.col("text")),
+        r"((\S+\s+){7}\S+)\s*", "$1. ",
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(doc % 13 == 0, F.concat(t2, F.lit(" lorem ipsum")))
+        .otherwise(t2),
+    )
+    n = TX.normalize_unicode(docs)
+    # line-ify: one sentence per line, so the C4 line rules see real lines
+    n = n.withColumn(
+        "norm_text", F.array_join(D2.sentences_expr("norm_text"), "\n")
+    )
+    c4 = TX.c4_clean(n, text_col="norm_text")
+    q = TX.quality_features(c4.withColumnRenamed("keep", "f_c4"),
+                            text_col="cleaned")
+    work = q.select(
+        "doc_id", "source", "cleaned", "f_c4",
+        (F.col("f_c4") & (F.col("n_tokens") >= 40)
+         & (F.col("punct_ratio") <= 0.3)).alias("f_q"),
+    )
+    # dedup reps resolved on bare (hash, id) pairs; BOTH flag joins below
+    # key on doc_id so the corpus shuffles once and the second join reuses
+    # the partitioning (no exchange between them)
+    key = F.sha2(D2.normalize_text(F.col("cleaned")), 256)
+    keyed = work.withColumn("_k", key)
+    reps = (
+        keyed.where("f_q").select("_k", "doc_id")
+        .groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id").withColumn("_is_rep", F.lit(True))
+    )
+    keyed = keyed.join(reps, "doc_id", "left").withColumn(
+        "f_d",
+        F.coalesce(F.col("f_q") & F.col("_is_rep"), F.lit(False)),
+    )
+    surv = keyed.where("f_d").select("doc_id", "cleaned")
+    probe = surv.where(doc % 11 == 0)
+    dec = D2.decontaminate(surv, probe, text_col="cleaned",
+                           probe_text_col="cleaned", n=8)
+    keyed = keyed.join(dec.select("doc_id", "contaminated"), "doc_id", "left")
+    keyed = keyed.withColumn(
+        "f_dec",
+        F.col("f_d") & ~F.coalesce(F.col("contaminated"), F.lit(False)),
+    )
+    flagged = SM2.stratified_sample(keyed, _FUNNEL_RATES, salt="funnel",
+                                    default_rate=0.8)
+    return flagged.agg(
+        F.count("*").alias("n_input"),
+        F.count(F.when(F.col("f_c4"), 1)).alias("n_c4"),
+        F.count(F.when(F.col("f_q"), 1)).alias("n_quality"),
+        F.count(F.when(F.col("f_d"), 1)).alias("n_dedup"),
+        F.count(F.when(F.col("f_dec"), 1)).alias("n_decontam"),
+        F.count(F.when(F.col("f_dec") & F.col("sampled"), 1))
+        .alias("n_sampled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -286,3 +286,25 @@ def test_span_dedup_text_never_shuffles(spark):
     assert exchanges  # the op does shuffle — just never the text
     for b in exchanges:
         assert "_sents" not in b and "text" not in b, b
+
+
+def test_curation_funnel_plan(spark):
+    # end-to-end funnel: one Arrow UDF stage (NFC normalize), no cartesian
+    # products, no row-at-a-time Python (BatchEvalPython), and the dedup
+    # reps aggregation exchanges bare (hash, id) pairs — never `cleaned`
+    import re
+
+    from beats_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES["curation_funnel"](spark, SF_SMOKE))
+    nodes = _nodes(plan)
+    assert "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.M)
+    rep_exchanges = [
+        b for b in blocks
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+        and "_k" in b and "broadcast" not in b.splitlines()[0]
+    ]
+    for b in rep_exchanges:
+        assert "cleaned" not in b, b
