@@ -3473,3 +3473,44 @@ def pensando_dfw(df: DataFrame, field: str = "message",
 
 
 MODULES["pensando.dfw"] = pensando_dfw
+
+
+# -- redis.slowlog (input/redis/harvester.go) --------------------------------
+
+
+def redis_slowlog(df: DataFrame) -> DataFrame:
+    """redis/slowlog: the reference's only *structured* fileset — its ingest
+    pipeline is empty (redis/slowlog/ingest/pipeline.json has zero
+    processors) and the whole event is built by the redis-protocol
+    harvester (filebeat/input/redis/harvester.go:150-213) from SLOWLOG GET
+    replies of shape (id, timestamp, duration, args[]). The Spark
+    restatement therefore takes a DataFrame of already-fetched reply rows
+    (columns id:long, ts_epoch:long, duration_us:long, args:array<string>,
+    role:string — role comes from the same pipelined ROLE command,
+    harvester.go:139-147) and applies the harvester's exact splitting:
+    cmd=args[0], key=args[1], slowlog.args=args[2:] (absent when ≤2),
+    message=join(args,' '), @timestamp=Unix(timestamp).UTC.
+
+    Pure Column projection — map-only, codegen, no shuffle; a network
+    poller in the reference becomes an embarrassingly parallel scan here."""
+    a = F.col("args")
+    n = F.size(a)
+    out = df.select(
+        F.col("id").alias("redis_slowlog_id"),
+        F.col("duration_us").alias("redis_slowlog_duration_us"),
+        F.col("role").alias("redis_slowlog_role"),
+        # harvester.go:171-178: cmd/key only set when present
+        F.when(n > 0, F.try_element_at(a, F.lit(1)))
+        .alias("redis_slowlog_cmd"),
+        F.when(n > 1, F.try_element_at(a, F.lit(2)))
+        .alias("redis_slowlog_key"),
+        # harvester.go:180-183: args only set when >2 elements
+        F.when(n > 2, F.slice(a, 3, n - 2)).alias("redis_slowlog_args"),
+        F.array_join(a, " ").alias("message"),
+        F.timestamp_seconds(F.col("ts_epoch")).alias("timestamp"),
+        F.lit("redis.slowlog").alias("event_dataset"),
+    )
+    return out
+
+
+MODULES["redis.slowlog"] = redis_slowlog

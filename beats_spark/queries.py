@@ -1855,6 +1855,91 @@ def q_module_pensando_dfw(spark, sf_dir):
     )
 
 
+# deterministic SLOWLOG GET reply rows from the events table — four
+# arg-shape classes by event_id % 4 exercising every branch of the
+# harvester's cmd/key/args split (1/2/4-arg vectors)
+_SLOWLOG_REPLY_EXPRS = [
+    "CAST(event_id AS BIGINT) AS id",
+    "unix_timestamp(ts) AS ts_epoch",
+    "CAST(event_id % 50000 + 13 AS BIGINT) AS duration_us",
+    """CASE CAST(event_id % 4 AS INT)
+         WHEN 0 THEN array('get', printf('user:%d', user_id))
+         WHEN 1 THEN array('setex', printf('sess:%d', event_id % 1000),
+                           '60', event_type)
+         WHEN 2 THEN array('ping')
+         ELSE array('lrange', printf('queue:%d', user_id % 25), '0',
+                    CAST(event_id % 50 AS STRING))
+       END AS args""",
+    "CASE WHEN user_id % 5 = 0 THEN 'slave' ELSE 'master' END AS role",
+]
+
+
+@register(
+    "module_redis_slowlog",
+    """
+WITH expected AS (
+  SELECT CASE CAST(event_id % 4 AS INT)
+           WHEN 0 THEN 'get' WHEN 1 THEN 'setex'
+           WHEN 2 THEN 'ping' ELSE 'lrange' END AS cmd,
+         CASE WHEN user_id % 5 = 0 THEN 'slave' ELSE 'master' END AS role,
+         CASE CAST(event_id % 4 AS INT)
+           WHEN 0 THEN printf('user:%d', user_id)
+           WHEN 1 THEN printf('sess:%d', event_id % 1000)
+           WHEN 2 THEN NULL
+           ELSE printf('queue:%d', user_id % 25) END AS key,
+         CASE WHEN event_id % 4 IN (1, 3) THEN 2 END AS n_tail,
+         CASE CAST(event_id % 4 AS INT)
+           WHEN 0 THEN printf('get user:%d', user_id)
+           WHEN 1 THEN printf('setex sess:%d 60 %s', event_id % 1000, event_type)
+           WHEN 2 THEN 'ping'
+           ELSE printf('lrange queue:%d 0 %d', user_id % 25, event_id % 50)
+         END AS message,
+         CAST(event_id % 50000 + 13 AS BIGINT) AS duration_us,
+         CAST(event_id AS BIGINT) AS id,
+         strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS ts_iso
+  FROM events
+)
+SELECT cmd, role, count(*) AS n_rows,
+       count(key) AS n_keys, count(DISTINCT key) AS n_distinct_keys,
+       CAST(sum(coalesce(n_tail, 0)) AS BIGINT) AS total_tail_args,
+       CAST(sum(duration_us) AS BIGINT) AS total_us,
+       min(message) AS min_msg, max(message) AS max_msg,
+       min(id) AS min_id, max(id) AS max_id,
+       min(ts_iso) AS min_ts, max(ts_iso) AS max_ts
+FROM expected GROUP BY 1, 2
+""",
+)
+def q_module_redis_slowlog(spark, sf_dir):
+    """The redis.slowlog structured fileset (modules.py redis_slowlog;
+    harvester split semantics pinned by
+    tests/test_modules.py::test_redis_slowlog_harvester_vectors) over
+    synthesized SLOWLOG GET replies. The oracle re-derives cmd/key/tail
+    lengths/message per arg-shape class straight from the event columns,
+    never touching the array logic under test."""
+    from beats_spark.modules import redis_slowlog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    replies = ev.selectExpr(*_SLOWLOG_REPLY_EXPRS)
+    out = redis_slowlog(replies)
+    return out.groupBy(
+        F.col("redis_slowlog_cmd").alias("cmd"),
+        F.col("redis_slowlog_role").alias("role"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("redis_slowlog_key").alias("n_keys"),
+        F.countDistinct("redis_slowlog_key").alias("n_distinct_keys"),
+        F.sum(F.coalesce(F.size("redis_slowlog_args"), F.lit(0)))
+        .alias("total_tail_args"),
+        F.sum("redis_slowlog_duration_us").alias("total_us"),
+        F.min("message").alias("min_msg"),
+        F.max("message").alias("max_msg"),
+        F.min("redis_slowlog_id").alias("min_id"),
+        F.max("redis_slowlog_id").alias("max_id"),
+        F.min(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("min_ts"),
+        F.max(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss")).alias("max_ts"),
+    )
+
+
 @register(
     "repetition_quality",
     r"""

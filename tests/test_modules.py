@@ -1067,3 +1067,50 @@ def test_pensando_dfw_golden(spark):
     lines, golden = _load_golden("pensando", "dfw", "test.log")
     rows = _run(spark, pensando_dfw, lines)
     _check(rows, golden, PENSANDO_DFW_FIELDS)
+
+
+def test_redis_slowlog_harvester_vectors(spark):
+    """redis.slowlog has no golden file (its ingest pipeline is empty and
+    the event is built by the redis-protocol harvester), so pin to the
+    reply vector documented in the reference source
+    (filebeat/input/redis/harvester.go:44-52: entry 13 / 1309448128 / 30 /
+    ["slowlog","get","100"]) plus the arg-splitting edge cases of
+    harvester.go:171-183."""
+    from beats_spark.modules import redis_slowlog
+
+    df = spark.createDataFrame(
+        [
+            (13, 1309448128, 30, ["slowlog", "get", "100"], "master"),
+            (14, 1309448129, 51, ["get", "k1"], "master"),
+            (15, 1309448130, 7, ["ping"], "slave"),
+            (16, 1309448131, 2, [], "slave"),
+            (17, 1309448132, 9999, ["setex", "k2", "60", "v", "nx"], "master"),
+        ],
+        "id long, ts_epoch long, duration_us long, args array<string>, role string",
+    )
+    rows = {r["redis_slowlog_id"]: r.asDict()
+            for r in redis_slowlog(df).collect()}
+
+    r13 = rows[13]
+    assert r13["redis_slowlog_cmd"] == "slowlog"
+    assert r13["redis_slowlog_key"] == "get"
+    assert r13["redis_slowlog_args"] == ["100"]
+    assert r13["message"] == "slowlog get 100"
+    assert r13["redis_slowlog_duration_us"] == 30
+    assert r13["redis_slowlog_role"] == "master"
+    assert r13["timestamp"] == datetime.datetime(2011, 6, 30, 15, 35, 28)
+
+    # exactly two args: cmd+key set, args absent (harvester.go:180-183)
+    assert rows[14]["redis_slowlog_cmd"] == "get"
+    assert rows[14]["redis_slowlog_key"] == "k1"
+    assert rows[14]["redis_slowlog_args"] is None
+    # one arg: key absent
+    assert rows[15]["redis_slowlog_cmd"] == "ping"
+    assert rows[15]["redis_slowlog_key"] is None
+    assert rows[15]["message"] == "ping"
+    # empty reply: nothing set, message empty
+    assert rows[16]["redis_slowlog_cmd"] is None
+    assert rows[16]["message"] == ""
+    # >2 args: tail preserved in order
+    assert rows[17]["redis_slowlog_args"] == ["60", "v", "nx"]
+    assert rows[17]["message"] == "setex k2 60 v nx"
