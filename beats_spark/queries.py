@@ -2686,6 +2686,76 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def _transcript_curation_oracle() -> str:
+    from beats_spark.textops import pii_redact_sql, token_count_sql
+
+    p = pii_redact_sql("text")
+    kept = "NOT corrupt AND dup_rank = 1"
+    return oracle_cte() + f"""
+, red AS (
+  SELECT conv_id, turn_idx, role,
+         {p['n_email']} AS n_email, {p['n_ipv4']} AS n_ipv4,
+         {p['n_phone']} AS n_phone, {p['redacted']} AS redacted,
+         (text LIKE '!!corrupt%') AS corrupt
+  FROM transcripts
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, md5(redacted) ORDER BY turn_idx) AS dup_rank
+  FROM red
+)
+SELECT role, count(*) AS turns,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_turns,
+       CAST(sum(CASE WHEN NOT corrupt AND dup_rank > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_turns,
+       CAST(sum(CASE WHEN {kept} THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+       count(DISTINCT CASE WHEN {kept} THEN conv_id END) AS n_convs,
+       CAST(sum(n_ipv4) AS BIGINT) AS ipv4_hits,
+       CAST(sum(n_email) AS BIGINT) AS email_hits,
+       CAST(sum(n_phone) AS BIGINT) AS phone_hits,
+       CAST(sum(CASE WHEN {kept} THEN {token_count_sql('redacted')} ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM ranked GROUP BY role
+"""
+
+
+@register("transcript_curation", _transcript_curation_oracle())
+def q_transcript_curation(spark, sf_dir):
+    """Corpus curation applied to the graft payload itself: the transcript
+    table goes through per-turn PII redaction (map-only regexp bank,
+    textops.pii_redact), corrupt-turn dead-lettering, and an
+    IN-CONVERSATION exact-turn dedup computed AFTER redaction — turns that
+    differed only in a scrubbed IP collapse to one survivor, exactly what a
+    training pipeline wants. The dedup key is (conv_id, md5(redacted)), so
+    the single wide shuffle in the plan is the conv_id repartition the
+    north rule prescribes, with the hash component defusing hot
+    conversations; the final per-role funnel is a partial-agg groupBy over
+    tiny numeric columns. The DuckDB oracle rebuilds every stage from the
+    shared pii_redact_sql/token_count_sql fragments."""
+    from beats_spark import textops as TX
+
+    t = load_transcripts(spark, sf_dir)
+    r = TX.pii_redact(t, text_col="text")
+    r = r.withColumn("corrupt", F.col("text").startswith("!!corrupt"))
+    w = W.partitionBy("conv_id", F.md5("redacted")).orderBy("turn_idx")
+    r = r.withColumn("dup_rank", F.row_number().over(w))
+    kept = ~F.col("corrupt") & (F.col("dup_rank") == 1)
+    r = TX.token_count(r, text_col="redacted")
+    return r.groupBy("role").agg(
+        F.count("*").alias("turns"),
+        F.sum(F.col("corrupt").cast("long")).alias("corrupt_turns"),
+        F.sum((~F.col("corrupt") & (F.col("dup_rank") > 1)).cast("long"))
+        .alias("dup_turns"),
+        F.sum(kept.cast("long")).alias("kept_turns"),
+        F.countDistinct(F.when(kept, F.col("conv_id"))).alias("n_convs"),
+        F.sum("n_ipv4").alias("ipv4_hits"),
+        F.sum("n_email").alias("email_hits"),
+        F.sum("n_phone").alias("phone_hits"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .alias("kept_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -308,3 +308,22 @@ def test_curation_funnel_plan(spark):
     ]
     for b in rep_exchanges:
         assert "cleaned" not in b, b
+
+
+def test_transcript_curation_plan_shape(spark):
+    """transcript_curation: the PII bank must stay codegen (no Python eval
+    node of any kind), and the only wide shuffle is the in-conversation
+    dedup window keyed on (conv_id, md5) — plus the two tiny role-grain
+    aggregate exchanges."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["transcript_curation"](spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    nodes = _nodes(plan)
+    assert "BatchEvalPython" not in nodes
+    assert "ArrowEvalPython" not in nodes
+    assert "SortMergeJoin" not in nodes
+    # window shuffle carries the md5 dedup key next to conv_id
+    assert "hashpartitioning(conv_id" in plan and "md5" in plan
+    # derivation window + dedup window + 2 role-agg exchanges, nothing more
+    assert nodes.count("Exchange") <= 4
