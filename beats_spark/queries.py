@@ -2756,6 +2756,42 @@ def q_transcript_curation(spark, sf_dir):
     )
 
 
+def _transcript_pack_oracle() -> str:
+    from beats_spark.data.transcripts import transcripts_select
+
+    src = f"""
+SELECT CAST(substr(conv_id, 6) AS BIGINT) AS conv_key,
+       CAST(sum({X.token_count_sql('text')}) AS BIGINT) AS n_tokens
+FROM ({transcripts_select('duckdb')})
+WHERE text NOT LIKE '!!corrupt%'
+GROUP BY 1"""
+    return PK.packing_oracle_sql(src, capacity=2048, id_col="conv_key",
+                                 bucket_chars=1)
+
+
+@register("transcript_pack", _transcript_pack_oracle())
+def q_transcript_pack(spark, sf_dir):
+    """Training-sequence assembly from the transcript table: non-corrupt
+    turns roll up to a per-conversation token count (partial-agg groupBy on
+    conv_id — the pipeline's native shuffle grain), then whole
+    conversations are next-fit packed into 2048-token context windows
+    (packing.pack_sequences). The conversation TEXT is never concatenated
+    or shuffled — whitespace token counts are additive across turns, so
+    the pack operates on bare (conv_key, n_tokens) pairs; at 10^12 turns
+    the only wide exchange is the same conv-keyed rollup every other stage
+    pays. Oracle replays the identical next-fit spec with a recursive CTE
+    over the shared transcript derivation."""
+    t = load_transcripts(spark, sf_dir)
+    kept = t.where(~F.col("text").startswith("!!corrupt"))
+    kept = X.token_count(kept, text_col="text", target="_turn_tokens")
+    conv = kept.groupBy(
+        F.substring("conv_id", 6, 10).cast("long").alias("conv_key")
+    ).agg(F.sum("_turn_tokens").alias("n_tokens"))
+    out = PK.pack_sequences(conv, capacity=2048, id_col="conv_key",
+                            bucket_chars=1)
+    return out.select("conv_key", "bucket", "packed_tokens", "bin", "seq_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -327,3 +327,21 @@ def test_transcript_curation_plan_shape(spark):
     assert "hashpartitioning(conv_id" in plan and "md5" in plan
     # derivation window + dedup window + 2 role-agg exchanges, nothing more
     assert nodes.count("Exchange") <= 4
+
+
+def test_transcript_pack_text_never_shuffles(spark):
+    """transcript_pack: the conversation rollup and the applyInPandas pack
+    must exchange only bare keys/counts — the turn text stays in the scan
+    stage (token counts are additive, so no concat is ever needed)."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["transcript_pack"](spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    import re
+
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    # exactly one Arrow-grouped stage (the packer), no row-at-a-time Python
+    nodes = _nodes(plan)
+    assert "BatchEvalPython" not in nodes
+    assert nodes.count("FlatMapGroupsInPandas") == 1
