@@ -2792,6 +2792,45 @@ def q_transcript_pack(spark, sf_dir):
     return out.select("conv_key", "bucket", "packed_tokens", "bin", "seq_id")
 
 
+@register(
+    "token_vocab",
+    """
+WITH toks AS (
+  SELECT u.tok AS token
+  FROM (SELECT trim(lower(text)) AS t FROM documents
+        WHERE text IS NOT NULL AND doc_id < 4000) s,
+       unnest(regexp_split_to_array(s.t, '\\s+')) AS u(tok)
+  WHERE u.tok != ''
+)
+SELECT token, count(*) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token ASC LIMIT 200
+""",
+)
+def q_token_vocab(spark, sf_dir):
+    """Exact top-200 vocabulary over the corpus — the heavy-hitter shape
+    every training pipeline needs (vocab builds, stop-word discovery,
+    contamination probes). The natural-language token distribution is
+    Zipfian, which is exactly what Spark's two-phase aggregate is for:
+    partial_count collapses each partition's explode output map-side, so
+    the exchange carries one (token, partial_n) row per distinct token per
+    partition — the hot token never concentrates on one reducer before
+    being pre-summed. The final global top-k is a TakeOrderedAndProject
+    (bounded heap, no full sort). Ties broken by token text for a
+    deterministic oracle comparison."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 4000) & F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(200)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -345,3 +345,17 @@ def test_transcript_pack_text_never_shuffles(spark):
     nodes = _nodes(plan)
     assert "BatchEvalPython" not in nodes
     assert nodes.count("FlatMapGroupsInPandas") == 1
+
+
+def test_token_vocab_is_two_phase_topk(spark):
+    """token_vocab: the Zipfian token histogram must pre-sum map-side
+    (partial HashAggregate before the exchange) and take the top-k with a
+    bounded heap (TakeOrderedAndProject), never a global Sort."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["token_vocab"](spark, SF_SMOKE)
+    nodes = _nodes(_formatted_plan(df))
+    assert nodes.count("HashAggregate") == 2  # partial + final
+    assert nodes.count("Exchange") == 1       # one token-keyed shuffle
+    assert "TakeOrderedAndProject" in nodes
+    assert "Sort" not in nodes
