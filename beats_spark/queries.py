@@ -2831,6 +2831,75 @@ def q_token_vocab(spark, sf_dir):
     )
 
 
+@register(
+    "routed_rows",
+    oracle_cte()
+    + f"""
+SELECT {_sink_case_sql()} AS sink, conv_id, turn_idx, role, text
+FROM transcripts
+""",
+)
+def q_routed_rows(spark, sf_dir):
+    """The north rule's correctness criterion verbatim: per-sink
+    ROUTED-ROW equality (not just aggregate counts) with per-turn text
+    equality under stable (conv_id, turn_idx) ordering. Every turn that
+    leaves the parse → enrich → route DAG is value-hash-compared against
+    the oracle's independent first-match-wins CASE derivation — any
+    routing misfire, text mutation, or dropped/duplicated row anywhere in
+    the DAG flips the hash."""
+    routed = full_pipeline(spark, sf_dir)
+    return routed.select(
+        F.col("_sink").alias("sink"), "conv_id", "turn_idx", "role", "text"
+    )
+
+
+@register(
+    "tool_transitions",
+    oracle_cte()
+    + """
+, tool_turns AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts
+  WHERE tool IS NOT NULL AND tool <> '' AND tool <> 'none'
+),
+chain AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM tool_turns
+)
+SELECT prev_tool, tool AS next_tool, count(*) AS n,
+       count(DISTINCT conv_id) AS n_convs
+FROM chain WHERE prev_tool IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_tool_transitions(spark, sf_dir):
+    """Agent tool-chain bigrams: which tool follows which within a
+    conversation — the transition matrix an agent-transcript analyst
+    actually asks for. Tool-call turns are filtered map-side (most turns
+    drop before any exchange), then a lag window over the conv_id/turn_idx
+    grain — the pipeline's native partitioning — emits (prev, next) pairs,
+    and a tiny groupBy rolls up the matrix. Oracle mirrors the filter +
+    lag + rollup in DuckDB."""
+    t = load_transcripts(spark, sf_dir)
+    tool_ok = (
+        F.col("tool").isNotNull() & (F.col("tool") != "")
+        & (F.col("tool") != "none")
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    chain = (
+        t.where(tool_ok)
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("prev_tool", F.lag("tool").over(w))
+        .where(F.col("prev_tool").isNotNull())
+    )
+    return chain.groupBy(
+        "prev_tool", F.col("tool").alias("next_tool")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
