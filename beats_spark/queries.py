@@ -2900,6 +2900,59 @@ def q_tool_transitions(spark, sf_dir):
     )
 
 
+@register(
+    "conv_quality",
+    oracle_cte()
+    + f"""
+, lagged AS (
+  SELECT conv_id, role, text, tool,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+)
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_role_changes,
+       count(DISTINCT role) AS n_roles,
+       CAST(sum({{tok}}) AS BIGINT) AS total_tokens,
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS n_tool_calls,
+       (count(*) >= 4 AND
+        CAST(sum(CASE WHEN prev_role IS NOT NULL AND prev_role <> role
+                      THEN 1 ELSE 0 END) AS BIGINT) * 10
+          >= (count(*) - 1) * 3) AS keep
+FROM lagged GROUP BY conv_id
+""".format(tok=X.token_count_sql("text")),
+)
+def q_conv_quality(spark, sf_dir):
+    """Conversation-level quality gate for transcript corpora: per-conv
+    turn count, role-alternation count, distinct roles, token total and
+    tool-call total, plus a keep flag (≥4 turns and ≥30% of adjacent turn
+    pairs changing speaker — monologue dumps fail). All metrics are exact
+    integers and the keep rule is integer arithmetic, so the oracle hash
+    can never drift on float rounding. Plan: the lag window and the
+    per-conv aggregate share ONE conv_id exchange — Spark reuses the
+    window's hashpartitioning for the groupBy, so conversation-grain
+    quality costs the same single shuffle every other conv-stage pays."""
+    t = load_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    x = t.withColumn("prev_role", F.lag("role").over(w))
+    x = X.token_count(x, text_col="text", target="_tok")
+    changed = (
+        F.col("prev_role").isNotNull() & (F.col("prev_role") != F.col("role"))
+    ).cast("long")
+    per_conv = x.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(changed).alias("n_role_changes"),
+        F.countDistinct("role").alias("n_roles"),
+        F.sum("_tok").alias("total_tokens"),
+        F.sum(_tool_call_col()).alias("n_tool_calls"),
+    )
+    return per_conv.withColumn(
+        "keep",
+        (F.col("n_turns") >= 4)
+        & (F.col("n_role_changes") * 10 >= (F.col("n_turns") - 1) * 3),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

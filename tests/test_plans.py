@@ -359,3 +359,17 @@ def test_token_vocab_is_two_phase_topk(spark):
     assert nodes.count("Exchange") == 1       # one token-keyed shuffle
     assert "TakeOrderedAndProject" in nodes
     assert "Sort" not in nodes
+
+
+def test_conv_quality_agg_reuses_window_partitioning(spark):
+    """conv_quality: the per-conv aggregate must run on the lag window's
+    conv_id partitioning — exchanges appear only BEFORE the windows (the
+    derivation's row_number + the lag), never between window and agg."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["conv_quality"](spark, SF_SMOKE)
+    nodes = _nodes(_formatted_plan(df))
+    assert nodes.count("Exchange") == 2
+    last_window = max(i for i, n in enumerate(nodes) if n == "Window")
+    assert "Exchange" not in nodes[last_window:]
+    assert "BatchEvalPython" not in nodes
