@@ -2953,6 +2953,49 @@ def q_conv_quality(spark, sf_dir):
     )
 
 
+@register(
+    "asof_enrich",
+    oracle_cte(
+        """states AS (
+  SELECT printf('conv-%06d', user_id) AS conv_id, ts,
+         max(event_id % 1000) AS state_val
+  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2
+)"""
+    )
+    + """
+SELECT t.conv_id, t.turn_idx, t.role, s.state_val
+FROM transcripts t
+ASOF LEFT JOIN states s ON t.conv_id = s.conv_id AND t.ts >= s.ts
+""",
+)
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time state enrichment: every turn picks up the latest
+    config-update state (a deterministic slice of the events table) at or
+    before its timestamp, per conversation — "what was the state when this
+    turn happened". Runs through beats_spark.asof.asof_join's union +
+    ordered-window formulation: NO join node in the plan, one conv-keyed
+    exchange where states interleave with turns in the same sort the
+    window already pays. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN` —
+    a fully independent implementation of the same point-in-time spec —
+    hash-compared row-for-row over all turns including the no-prior-state
+    nulls and the equal-timestamp (>=) ties."""
+    from beats_spark.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    states = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .groupBy(
+            F.format_string("conv-%06d", "user_id").alias("conv_id"), "ts"
+        )
+        .agg(F.max(F.col("event_id") % 1000).alias("state_val"))
+    )
+    turns = load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "ts"
+    )
+    out = asof_join(turns, states, on="conv_id", values=["state_val"])
+    return out.select("conv_id", "turn_idx", "role", "state_val")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
