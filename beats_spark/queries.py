@@ -2996,6 +2996,61 @@ def q_asof_enrich(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "role", "state_val")
 
 
+@register(
+    "interval_overlap",
+    oracle_cte(
+        """wins AS (
+  SELECT printf('conv-%06d', user_id) AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7 + 1) * 60 AS hi,
+         event_id AS win_id
+  FROM events WHERE event_id % 11 = 0
+)"""
+    )
+    + """
+SELECT role, count(*) AS n_pairs,
+       count(DISTINCT (t.conv_id, t.turn_idx)) AS n_covered_turns,
+       count(DISTINCT w.win_id) AS n_windows_hit,
+       CAST(sum(w.win_id % 97) AS BIGINT) AS pair_checksum
+FROM transcripts t
+JOIN wins w ON t.conv_id = w.conv_id
+          AND CAST(floor(epoch(t.ts)) AS BIGINT) BETWEEN w.lo AND w.hi
+GROUP BY role
+""",
+)
+def q_interval_overlap(spark, sf_dir):
+    """Range join on the graft payload: which turns fall inside per-
+    conversation activity windows (a deterministic slice of events opens a
+    1-7 minute window). Runs through intervals.interval_join — intervals
+    explode into coarse time buckets and the match is a bare
+    (conv_id, bucket) EQUI-join with a codegen residual filter, never a
+    nested loop. The oracle is DuckDB's own BETWEEN range join — an
+    entirely different execution strategy over the same spec — compared on
+    pair counts, distinct covered turns, distinct windows hit and a
+    checksum over the matched pairs."""
+    from beats_spark.intervals import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wins = ev.where(F.col("event_id") % 11 == 0).select(
+        F.format_string("conv-%06d", "user_id").alias("conv_id"),
+        F.unix_timestamp("ts").alias("lo"),
+        (F.unix_timestamp("ts") + (F.col("event_id") % 7 + 1) * 60)
+        .alias("hi"),
+        F.col("event_id").alias("win_id"),
+    )
+    turns = load_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "ts"
+    )
+    out = interval_join(turns, wins, events_ts="ts", lo="lo", hi="hi",
+                        on="conv_id", bucket=120)
+    return out.groupBy("role").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_covered_turns"),
+        F.countDistinct("win_id").alias("n_windows_hit"),
+        F.sum(F.col("win_id") % 97).alias("pair_checksum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,72 @@
+"""interval_join (beats_spark/intervals.py): coverage semantics (inclusive
+bounds, exactly-once pairs, bucket-boundary spans), key scoping, and the
+no-nested-loop plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.intervals import interval_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ev = spark.createDataFrame(
+        [(1, 100, "a"), (1, 250, "b"), (1, 999, "c"), (2, 100, "d")],
+        "k int, ts long, x string",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 90, 110, "w1"),     # covers ts=100 (inclusive bounds)
+            (1, 100, 100, "w2"),    # degenerate interval, covers ts=100
+            (1, 0, 500, "w3"),      # long span, covers 100 and 250
+            (2, 240, 260, "w4"),    # right key range, wrong key for b
+        ],
+        "k int, lo long, hi long, w string",
+    )
+    return ev, iv
+
+
+def _pairs(df):
+    return sorted((r.x, r.w) for r in df.collect())
+
+
+def test_coverage_inclusive_and_exactly_once(spark, frames):
+    ev, iv = frames
+    out = interval_join(ev, iv, on="k", bucket=50)
+    assert _pairs(out) == [
+        ("a", "w1"), ("a", "w2"), ("a", "w3"), ("b", "w3"),
+    ]
+
+
+def test_bucket_width_does_not_change_results(spark, frames):
+    ev, iv = frames
+    small = _pairs(interval_join(ev, iv, on="k", bucket=7))
+    huge = _pairs(interval_join(ev, iv, on="k", bucket=100_000))
+    assert small == huge
+
+
+def test_keyless_join_crosses_keys(spark, frames):
+    ev, iv = frames
+    out = interval_join(ev.drop("k"), iv.drop("k"), bucket=50)
+    # without the key, d(ts=100) now also matches w1/w2/w3, and b matches w4
+    got = sorted((r.x, r.w) for r in out.collect())
+    assert ("d", "w1") in got and ("b", "w4") in got
+
+
+def test_collision_guard(spark, frames):
+    ev, iv = frames
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(ev, iv.withColumnRenamed("w", "x"), on="k")
+
+
+def test_plan_is_equi_join_not_nested_loop(spark, frames):
+    ev, iv = frames
+    df = interval_join(ev, iv, on="k", bucket=50)
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
