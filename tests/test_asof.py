@@ -80,3 +80,33 @@ def test_plan_has_no_join_node(spark, frames):
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
     assert "Window" in plan
+
+
+def test_asof_matches_bruteforce_on_random_data(spark):
+    """200 keys × random events/states in ONE job vs an O(n·m) per-key
+    brute force — catches window-frame and tie-ordering mistakes the
+    hand-picked vectors might miss."""
+    import random
+
+    rnd = random.Random(20260818)
+    evs, sts = [], []
+    for k in range(200):
+        for ts in rnd.sample(range(1000), rnd.randint(1, 8)):
+            evs.append((k, ts))
+        for ts in rnd.sample(range(1000), rnd.randint(0, 6)):
+            sts.append((k, ts, k * 10_000 + ts))
+    ev = spark.createDataFrame(evs, "k int, ts int")
+    st = spark.createDataFrame(sts, "k int, ts int, v long")
+
+    got = {
+        (r.k, r.ts): r.v
+        for r in asof_join(ev, st, on="k", values=["v"]).collect()
+    }
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, ts, v in sts:
+        by_key.setdefault(k, []).append((ts, v))
+    assert len(got) == len(evs)
+    for k, ts in evs:
+        prior = [(sts_, v) for sts_, v in by_key.get(k, []) if sts_ <= ts]
+        want = max(prior)[1] if prior else None
+        assert got[(k, ts)] == want, (k, ts)

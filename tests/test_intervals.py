@@ -70,3 +70,33 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_matches_bruteforce_on_random_data(spark):
+    """150 keys × random events/intervals in ONE job vs the O(n·m)
+    definition — bucket boundaries land everywhere, so any off-by-one in
+    the sequence/floor bucketization shows up."""
+    import random
+
+    rnd = random.Random(20260818)
+    evs, ivs = [], []
+    for k in range(150):
+        for ts in rnd.sample(range(2000), rnd.randint(1, 6)):
+            evs.append((k, ts))
+        for i in range(rnd.randint(0, 4)):
+            lo = rnd.randrange(2000)
+            ivs.append((k, lo, lo + rnd.randrange(0, 400), f"w{k}-{i}"))
+    ev = spark.createDataFrame(evs, "k int, ts long")
+    iv = spark.createDataFrame(ivs, "k int, lo long, hi long, w string")
+
+    got = sorted(
+        (r.k, r.ts, r.w)
+        for r in interval_join(ev, iv, on="k", bucket=64).collect()
+    )
+    want = sorted(
+        (k, ts, w)
+        for k, ts in evs
+        for k2, lo, hi, w in ivs
+        if k2 == k and lo <= ts <= hi
+    )
+    assert got == want
