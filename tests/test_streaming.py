@@ -262,3 +262,42 @@ def test_stream_curation_scrubbers_equal_batch(spark, tmp_path):
     for k in batch:
         assert streamed[k].asDict() == batch[k].asDict()
     assert streamed[0]["blocked_url"] and streamed[0]["n_email"] == 1
+
+
+def test_stream_asof_enrich_foreachbatch_equal_batch(spark, tmp_path):
+    # asof_join needs an ordered window over the unioned state+event
+    # stream, so it cannot compose onto an unbounded streaming frame
+    # directly; the production shape is per-microbatch point-in-time
+    # enrichment against the (slowly-changing, static-per-batch) state
+    # table inside foreachBatch. Streamed result must equal the batch run.
+    from beats_spark.asof import asof_join
+
+    src = str(tmp_path / "asof_src")
+    ev = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "k int, ts int, x string",
+    )
+    ev.write.mode("overwrite").parquet(src)
+    st = spark.createDataFrame(
+        [(1, 5, 100), (1, 20, 200), (2, 99, 300)], "k int, ts int, v int"
+    )
+
+    batch = {
+        (r.k, r.ts): r.v
+        for r in asof_join(ev, st, on="k", values=["v"]).collect()
+    }
+
+    got: dict = {}
+
+    def enrich(frame, _epoch_id):
+        for r in asof_join(frame, st, on="k", values=["v"]).collect():
+            got[(r.k, r.ts)] = r.v
+
+    sdf = spark.readStream.schema("k int, ts int, x string").parquet(src)
+    q = (
+        sdf.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
