@@ -29,7 +29,7 @@ and DuckDB's ASOF/range joins).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
@@ -93,3 +93,25 @@ def interval_join(
         (F.col("_ilo") <= F.col("_ets")) & (F.col("_ets") <= F.col("_ihi"))
     )
     return out.drop("_bkt", "_ets", "_ilo", "_ihi")
+
+
+def validity_intervals(
+    states: DataFrame,
+    on: list[str] | str,
+    ts: str = "ts",
+    lo: str = "valid_from",
+    hi: str = "valid_to",
+) -> DataFrame:
+    """Change-log → SCD2 validity spans: each state row becomes valid from
+    its own timestamp until the key's NEXT state (exclusive; null = still
+    current). The inverse of `asof_join` — materialize the spans once with
+    one lead() window per key and every point lookup afterwards is a plain
+    `interval_join`, instead of re-running the as-of window per query.
+
+    One shuffle on the key; rows and columns pass through with `lo`/`hi`
+    appended (same type as `ts`)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts).asc())
+    return states.withColumn(lo, F.col(ts)).withColumn(
+        hi, F.lead(ts).over(w)
+    )

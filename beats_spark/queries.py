@@ -3051,6 +3051,90 @@ def q_interval_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "state_intervals",
+    """
+WITH states AS (
+  SELECT printf('conv-%06d', user_id) AS conv_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         CAST(event_id % 1000 AS BIGINT) AS state_val,
+         event_id
+  FROM events WHERE event_id % 7 = 0
+),
+dedup AS (
+  SELECT conv_id, ts, max(state_val) AS state_val
+  FROM states GROUP BY 1, 2
+)
+SELECT conv_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY conv_id ORDER BY ts) AS valid_to,
+       state_val
+FROM dedup
+""",
+)
+def q_state_intervals(spark, sf_dir):
+    """Change-log → SCD2 validity spans (intervals.validity_intervals):
+    each config-update state becomes a [valid_from, valid_to) span closed
+    by the key's next update (null = still current). Materialized spans
+    are the batch-friendly dual of asof_enrich — build once, then every
+    point lookup is an interval_join instead of a per-query as-of window.
+    Row-for-row hash compare against DuckDB's lead() over the same
+    deduplicated change-log."""
+    from beats_spark.intervals import validity_intervals
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    states = (
+        ev.where(F.col("event_id") % 7 == 0)
+        .groupBy(
+            F.format_string("conv-%06d", "user_id").alias("conv_id"),
+            F.unix_timestamp("ts").alias("ts"),
+        )
+        .agg(F.max(F.col("event_id") % 1000).alias("state_val"))
+    )
+    out = validity_intervals(states, on="conv_id", ts="ts")
+    return out.select(
+        "conv_id",
+        F.col("valid_from"),
+        F.col("valid_to"),
+        "state_val",
+    )
+
+
+@register(
+    "sink_cube",
+    oracle_cte()
+    + f"""
+, mid AS (
+  SELECT {_sink_case_sql()} AS sink, role, count(*) AS n
+  FROM transcripts GROUP BY 1, 2
+)
+SELECT coalesce(sink, '<all>') AS sink, coalesce(role, '<all>') AS role,
+       CAST(sum(n) AS BIGINT) AS n_turns
+FROM mid GROUP BY CUBE (sink, role)
+""",
+)
+def q_sink_cube(spark, sf_dir):
+    """Multi-grain routing rollup in one statement: turn counts at
+    (sink, role), (sink), (role) and grand-total grains. The scale-correct
+    cube: the raw table aggregates ONCE at the finest grain (partial
+    map-side combine, one small shuffle), and the 4x Expand of CUBE runs
+    over that ~|sinks|x|roles|-row intermediate — never over the corpus.
+    A naive routed.cube(...).count() would Expand every input row 4x
+    before its shuffle; at 10^12 turns that is 3x10^12 wasted rows."""
+    routed = full_pipeline(spark, sf_dir)
+    mid = routed.groupBy(F.col("_sink").alias("sink"), "role").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        mid.cube("sink", "role")
+        .agg(F.sum("n").alias("n_turns"))
+        .select(
+            F.coalesce("sink", F.lit("<all>")).alias("sink"),
+            F.coalesce("role", F.lit("<all>")).alias("role"),
+            "n_turns",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -100,3 +100,32 @@ def test_interval_matches_bruteforce_on_random_data(spark):
         if k2 == k and lo <= ts <= hi
     )
     assert got == want
+
+
+def test_validity_intervals_tile_the_timeline(spark):
+    """SCD2 spans: per key, valid_from asc, each valid_to equals the next
+    valid_from (half-open tiling), exactly one open (null) span — and an
+    interval_join against the closed spans reproduces asof semantics."""
+    from beats_spark.intervals import validity_intervals
+
+    st = spark.createDataFrame(
+        [(1, 5, 100), (1, 20, 200), (1, 40, 300), (2, 7, 900)],
+        "k int, ts long, v long",
+    )
+    spans = validity_intervals(st, on="k", ts="ts").collect()
+    by_key: dict[int, list] = {}
+    for r in sorted(spans, key=lambda r: (r.k, r.valid_from)):
+        by_key.setdefault(r.k, []).append(r)
+    for k, rows in by_key.items():
+        assert rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+    # closed spans are directly interval_join-able (half-open: hi-1)
+    closed = validity_intervals(st, on="k", ts="ts").where(
+        F.col("valid_to").isNotNull()
+    ).select("k", F.col("valid_from").alias("lo"),
+             (F.col("valid_to") - 1).alias("hi"), "v")
+    ev = spark.createDataFrame([(1, 5), (1, 19), (1, 25)], "k int, ts long")
+    got = {r.ts: r.v for r in
+           interval_join(ev, closed, on="k", bucket=16).collect()}
+    assert got == {5: 100, 19: 100, 25: 200}
