@@ -3135,6 +3135,58 @@ def q_sink_cube(spark, sf_dir):
     )
 
 
+@register(
+    "conv_pattern",
+    oracle_cte()
+    + """
+, sigs AS (
+  SELECT conv_id,
+         string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS sig
+  FROM transcripts GROUP BY conv_id
+)
+SELECT count(*) AS n_convs,
+       CAST(sum(CASE WHEN regexp_matches(sig, 'ut+a') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tool_loops,
+       CAST(sum(CASE WHEN regexp_matches(sig, '^s') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_system_first,
+       CAST(sum(CASE WHEN regexp_matches(sig, 'ua') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_direct_answers,
+       min(length(sig)) AS min_turns, max(length(sig)) AS max_turns
+FROM sigs
+""",
+)
+def q_conv_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence analytics, which Spark SQL lacks:
+    each conversation collapses to a role-initial signature string in turn
+    order (array_sort over (turn_idx, initial) structs — deterministic
+    without a window), then ordinary regexps answer "did user → tool+ →
+    assistant happen?" over the tiny per-conv strings. One conv-grain
+    shuffle carrying (conv_id, turn_idx, 1-char initial) — the text never
+    moves — and the pattern scan runs on |convs| rows, not |turns|.
+    Oracle: DuckDB ordered string_agg + the same RE2-safe regexps."""
+    t = load_transcripts(spark, sf_dir)
+    sig = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("turn_idx", F.substring("role", 1, 1).alias("i"))
+                )
+            ),
+            lambda s: s["i"],
+        ),
+        "",
+    )
+    sigs = t.groupBy("conv_id").agg(sig.alias("sig"))
+    return sigs.agg(
+        F.count("*").alias("n_convs"),
+        F.sum(F.col("sig").rlike("ut+a").cast("long")).alias("n_tool_loops"),
+        F.sum(F.col("sig").rlike("^s").cast("long")).alias("n_system_first"),
+        F.sum(F.col("sig").rlike("ua").cast("long")).alias("n_direct_answers"),
+        F.min(F.length("sig")).alias("min_turns"),
+        F.max(F.length("sig")).alias("max_turns"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
