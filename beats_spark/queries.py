@@ -3187,6 +3187,72 @@ def q_conv_pattern(spark, sf_dir):
     )
 
 
+@register(
+    "latency_quantiles",
+    oracle_cte()
+    + """
+, gaps AS (
+  SELECT role,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (
+              PARTITION BY conv_id ORDER BY turn_idx))) AS BIGINT) AS gap_s
+  FROM transcripts
+),
+hist AS (
+  SELECT role, gap_s, count(*) AS c FROM gaps
+  WHERE gap_s IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT role, gap_s, c,
+         sum(c) OVER (PARTITION BY role ORDER BY gap_s) AS cum,
+         sum(c) OVER (PARTITION BY role) AS n
+  FROM hist
+)
+SELECT role, CAST(max(n) AS BIGINT) AS n_gaps,
+       min(CASE WHEN cum >= ceil(n * 0.5) THEN gap_s END) AS p50_s,
+       min(CASE WHEN cum >= ceil(n * 0.9) THEN gap_s END) AS p90_s,
+       min(CASE WHEN cum >= ceil(n * 0.99) THEN gap_s END) AS p99_s
+FROM cum GROUP BY role
+""",
+)
+def q_latency_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of turn-to-turn latency per role — computed the
+    way exact percentiles survive 10^12 rows: NEVER a global sort of raw
+    gaps (4 roles would mean 4 monster sort partitions). Instead the gaps
+    collapse to a (role, gap_s) histogram first (map-side partial counts —
+    latencies are bounded integers, so the histogram is tiny), and the
+    quantile is read off the cumulative count with integer ceil
+    arithmetic. The discrete definition (smallest value whose cumulative
+    count reaches ceil(q·n)) is spelled out identically in the oracle, so
+    there is no interpolation or float to drift on."""
+    t = load_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    g = t.withColumn(
+        "gap_s",
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+    ).filter(F.col("gap_s").isNotNull())
+    hist = g.groupBy("role", "gap_s").agg(F.count("*").alias("c"))
+    wc = (
+        W.partitionBy("role")
+        .orderBy("gap_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(W.partitionBy("role"))
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * q), F.col("gap_s"))
+        )
+
+    return cum.groupBy("role").agg(
+        F.max("n").alias("n_gaps"),
+        pick(0.5).alias("p50_s"),
+        pick(0.9).alias("p90_s"),
+        pick(0.99).alias("p99_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
