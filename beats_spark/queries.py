@@ -3253,6 +3253,51 @@ def q_latency_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "cohort_retention",
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+  FROM events
+),
+coh AS (
+  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM uw
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM coh GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark, sf_dir):
+    """The retention triangle: users bucketed by first-seen week, counted
+    in every subsequent week they return. One user-grain shuffle does all
+    the heavy lifting — raw events pre-aggregate map-side to distinct
+    (user, week) pairs, each user's row collapses to (first week,
+    week-set) in a single groupBy, and offsets explode from that bounded
+    set (≤ #weeks elements) into a tiny (cohort, offset) count. No join
+    back to the fact table, no second pass over events. All-integer week
+    arithmetic keeps the oracle hash exact."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uw = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).alias("week"),
+    ).distinct()
+    per_user = uw.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("weeks"),
+    )
+    exploded = per_user.select(
+        "user_id",
+        "cohort_week",
+        F.explode("weeks").alias("week"),
+    ).withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+    return exploded.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
