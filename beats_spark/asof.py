@@ -8,11 +8,10 @@ scale) or a per-row subquery. The scalable shape — and the one used here
 
 1. union the state stream and the event stream by name (missing columns
    null), tagging state rows 0 and event rows 1;
-2. one shuffle on the join key, one in-partition sort on
-   (ts, tag, seq): states sort BEFORE events at equal timestamps, so an
-   event sees a state stamped at its own instant (the `>=` as-of
-   convention, matching DuckDB's ASOF JOIN and pandas merge_asof
-   backward);
+2. one shuffle on the join key, one in-partition sort on (ts, tag):
+   states sort BEFORE events at equal timestamps, so an event sees a
+   state stamped at its own instant (the `>=` as-of convention, matching
+   DuckDB's ASOF JOIN and pandas merge_asof backward);
 3. `last(value, ignorenulls=True)` over the running window carries each
    key's latest state forward;
 4. keep only event rows.
@@ -32,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_TAG, _SEQ = "_asof_tag", "_asof_seq"
+_TAG = "_asof_tag"
 
 
 def asof_join(
@@ -54,9 +53,11 @@ def asof_join(
     carried values when the matched state is older than
     ``events_ts - tolerance`` — pandas merge_asof semantics.
 
-    Ties: states sort before events at equal timestamps (>= convention);
-    if `states` holds several rows per (key, ts) the LAST one in
-    (key, ts) order wins — pre-deduplicate for a deterministic pick.
+    Ties: states sort before events at equal timestamps (>= convention).
+    The window orders only on (ts, tag), so if `states` holds SEVERAL rows
+    per (key, ts) the carried one is whichever the sort happened to place
+    last — nondeterministic across runs. Pre-deduplicate states to one row
+    per (key, ts) for a deterministic pick.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if values is None:

@@ -71,15 +71,22 @@ def checkpointed_fan_out(
 
     `fail_after` (tests only): simulate a crash after N sink commits.
 
-    Scale note: per-sink writes here filter the routed frame once per sink.
-    For the throughput path use routing.fan_out (single-pass partitionBy);
-    this writer is the RESUMABLE path — per-sink atomic commit + manifest is
-    what buys checkpoint/restart. With Iceberg both combine (branch writes +
-    snapshot per sink). The routed frame is persisted inside the function so
-    the upstream DAG computes ONCE (populated by the sink-discovery pass);
-    per-sink row counts come from the freshly written files (cheap columnar
-    count — parquet footer metadata), never from re-running the lineage.
+    Scale shape (single-pass): sinks not yet committed are written in ONE
+    partitionBy job into a staging directory — the same writer split
+    routing.fan_out uses, so the upstream parse→enrich→route DAG executes
+    exactly once and nothing is persisted/cached — then each staged sink
+    directory is COMMITTED individually: an atomic directory rename into
+    `base` (metadata-only; FileSystem.rename on HDFS/S3A) followed by a
+    manifest entry. A crash between commits loses no data: committed sinks
+    are skipped on resume (the pending filter keeps them out of the next
+    staging write), uncommitted ones are re-staged. Per-sink row counts
+    come from the freshly committed files (parquet footer metadata), never
+    from re-running lineage. With Iceberg the rename+manifest pair becomes
+    a per-sink snapshot commit (see BASELINE.md — runtime jar absent in
+    this container).
     """
+    import shutil
+
     spark = routed.sparkSession
     manifest = read_manifest(base)
     if manifest.get("job_id") != job_id:
@@ -88,8 +95,6 @@ def checkpointed_fan_out(
         # sinks leaves stale `_sink=*` data that spark.read.parquet(base)
         # would silently union in. (Local FS here; on S3/HDFS this is the
         # same recursive-delete call via the Hadoop FileSystem API.)
-        import shutil
-
         if os.path.isdir(base):
             for d in os.listdir(base):
                 if d.startswith(f"{target}="):
@@ -97,26 +102,43 @@ def checkpointed_fan_out(
         manifest = {"job_id": job_id, "sinks": {}, "started_at": time.time()}
         _write_manifest(base, manifest)
 
-    routed = routed.persist()
-    try:
-        # this pass materializes the cache; every per-sink write below reads
-        # the cached partitions instead of recomputing parse→enrich→route
-        sinks = [r[0] for r in routed.select(target).distinct().collect()]
-        done = 0
-        for sink in sorted(sinks):
-            if sink in manifest["sinks"]:
-                continue  # committed by a previous attempt — resume skips it
-            part = routed.filter(F.col(target) == sink).drop(target)
-            path = os.path.join(base, f"{target}={sink}")
-            part.write.format(file_format).mode("overwrite").save(path)
-            rows = spark.read.format(file_format).load(path).count()
-            manifest["sinks"][sink] = {"rows": rows, "committed_at": time.time()}
-            _write_manifest(base, manifest)
-            done += 1
-            if fail_after is not None and done >= fail_after:
-                raise RuntimeError(f"simulated crash after {done} sink commits")
-    finally:
-        routed.unpersist()
+    committed = sorted(manifest["sinks"])
+    pending = (
+        routed.filter(~F.col(target).isin(committed)) if committed else routed
+    )
+
+    staging = os.path.join(base, f"_staging_{job_id}")
+    shutil.rmtree(staging, ignore_errors=True)  # stale staging from a crash
+    # THE single write job: partitionBy splits one writer per sink value
+    (
+        pending.write.partitionBy(target)
+        .format(file_format)
+        .mode("overwrite")
+        .save(staging)
+    )
+
+    from urllib.parse import unquote
+
+    prefix = f"{target}="
+    staged = sorted(
+        (unquote(d[len(prefix):]), d)
+        for d in os.listdir(staging)
+        if d.startswith(prefix)
+    )
+    done = 0
+    for sink, dirname in staged:
+        dst = os.path.join(base, dirname)
+        shutil.rmtree(dst, ignore_errors=True)  # partial from a crash
+        os.replace(os.path.join(staging, dirname), dst)
+        rows = spark.read.format(file_format).load(dst).count()
+        manifest["sinks"][sink] = {"rows": rows, "committed_at": time.time()}
+        _write_manifest(base, manifest)
+        done += 1
+        if fail_after is not None and done >= fail_after:
+            # staging intentionally left behind, as a real crash would —
+            # the resume path re-stages pending sinks after deleting it
+            raise RuntimeError(f"simulated crash after {done} sink commits")
+    shutil.rmtree(staging, ignore_errors=True)
     return manifest
 
 

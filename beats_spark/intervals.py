@@ -53,9 +53,19 @@ def interval_join(
     on: list[str] | str | None = None,
     bucket: int = 3600,
     values: list[str] | None = None,
+    closed: str = "both",
 ) -> DataFrame:
     """Inner join of point `events` to every `intervals` row covering them:
-    same `on` key (optional) and ``lo <= events_ts <= hi`` inclusive.
+    same `on` key (optional) and the ts within [lo, hi].
+
+    `closed` picks the hi-bound convention:
+    - "both" (default): ``lo <= ts <= hi`` inclusive; null-hi rows are
+      dropped (an inclusive bound has no open-ended reading);
+    - "left": half-open ``lo <= ts < hi``, and a NULL hi means the span is
+      still open (matches every ts >= lo). This is the mode that composes
+      with `validity_intervals` — SCD2 spans tile half-open, so "both"
+      would double-match points sitting exactly on a span boundary and
+      lose lookups into each key's current (null-hi) span.
 
     Timestamp/bound columns may be TimestampType (cast to epoch seconds
     internally) or already-numeric. `values` defaults to every interval
@@ -63,7 +73,14 @@ def interval_join(
     columns. Each matching (event, interval) pair is emitted exactly once.
     `bucket` is the bucketization width in seconds — choose it near the
     typical interval length (too small explodes long intervals into many
-    buckets, too large inflates the candidate join)."""
+    buckets, too large inflates the candidate join).
+
+    Scale note on open spans: a null hi cannot be bucketized, so in "left"
+    mode open spans are capped at max(event ts) — one map-side-combined
+    aggregate over the bare ts column, broadcast back as a single row.
+    That extra pass only runs when open spans exist in the plan."""
+    if closed not in ("both", "left"):
+        raise ValueError(f"closed must be 'both' or 'left', got {closed!r}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     if values is None:
         values = [c for c in intervals.columns if c not in (*keys, lo, hi)]
@@ -74,10 +91,23 @@ def interval_join(
         )
 
     b = F.lit(int(bucket))
+    ev = events.withColumn("_ets", _epoch(events, events_ts)).withColumn(
+        "_bkt", F.floor(F.col("_ets") / b)
+    )
+    ihi = _epoch(intervals, hi)
+    if closed == "left":
+        # open (null-hi) spans: cap at max event ts so they bucketize.
+        # exclusive-hi residual below still applies only to REAL bounds.
+        cap = ev.agg(F.max("_ets").alias("_cap"))
+        intervals = intervals.crossJoin(F.broadcast(cap))
+        ihi_eff = F.coalesce(ihi, F.col("_cap") + 1)
+    else:
+        ihi_eff = ihi
     ivl = intervals.select(
         *keys,
         _epoch(intervals, lo).alias("_ilo"),
-        _epoch(intervals, hi).alias("_ihi"),
+        ihi_eff.alias("_ihi"),
+        ihi.isNull().alias("_iopen"),
         *values,
     ).where(F.col("_ilo") <= F.col("_ihi"))
     ivl = ivl.withColumn(
@@ -86,13 +116,15 @@ def interval_join(
             F.sequence(F.floor(F.col("_ilo") / b), F.floor(F.col("_ihi") / b))
         ),
     )
-    ev = events.withColumn("_ets", _epoch(events, events_ts)).withColumn(
-        "_bkt", F.floor(F.col("_ets") / b)
+    hi_ok = (
+        (F.col("_ets") <= F.col("_ihi"))
+        if closed == "both"
+        else (F.col("_iopen") | (F.col("_ets") < F.col("_ihi")))
     )
     out = ev.join(ivl, [*keys, "_bkt"]).where(
-        (F.col("_ilo") <= F.col("_ets")) & (F.col("_ets") <= F.col("_ihi"))
+        (F.col("_ilo") <= F.col("_ets")) & hi_ok
     )
-    return out.drop("_bkt", "_ets", "_ilo", "_ihi")
+    return out.drop("_bkt", "_ets", "_ilo", "_ihi", "_iopen")
 
 
 def validity_intervals(
@@ -106,7 +138,11 @@ def validity_intervals(
     its own timestamp until the key's NEXT state (exclusive; null = still
     current). The inverse of `asof_join` — materialize the spans once with
     one lead() window per key and every point lookup afterwards is a plain
-    `interval_join`, instead of re-running the as-of window per query.
+    ``interval_join(..., closed="left")``, instead of re-running the as-of
+    window per query. The half-open mode matters: spans tile as
+    [valid_from, valid_to) with one null-valid_to (open) span per key, so
+    the default inclusive interval_join would double-match points sitting
+    exactly on valid_to and drop lookups into the open span.
 
     One shuffle on the key; rows and columns pass through with `lo`/`hi`
     appended (same type as `ts`)."""

@@ -61,9 +61,11 @@ def pack_sequences(
         "packed_tokens", F.least(F.col(tokens_col), F.lit(capacity))
     )
 
+    # id passes through the pandas kernel untouched — mirror its REAL type
+    # (string / int32 / long ids all pack; hardcoding LongType miscast them)
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, df.schema[id_col].dataType),
             StructField("bucket", StringType()),
             StructField("packed_tokens", LongType()),
             StructField("bin", IntegerType()),
@@ -165,11 +167,17 @@ def chunk_documents(
     Map-only: token array, chunk starts and slices are all built in-array
     per row, then one posexplode — no shuffle, no UDF. Chunk count is
     ceil((n_tokens - overlap) / (max_tokens - overlap)); a doc that fits
-    yields exactly itself (chunk 0, whitespace-normalized)."""
+    yields exactly itself (chunk 0, whitespace-normalized). Empty /
+    whitespace-only text mirrors textops.token_count's guard: one empty
+    chunk with n_doc_tokens = n_chunk_tokens = 0 (split('') would
+    otherwise report a phantom token)."""
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    blank = F.trim(F.col(text_col)) == ""
+    toks = F.when(blank, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+")
+    )
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
@@ -190,7 +198,9 @@ def chunk_documents(
     )
     return out.withColumn(
         "n_chunk_tokens",
-        F.size(F.split(F.col("chunk_text"), r"\s+")),
+        F.when(F.col("chunk_text") == "", 0).otherwise(
+            F.size(F.split(F.col("chunk_text"), r"\s+"))
+        ),
     )
 
 
@@ -203,11 +213,13 @@ def chunk_documents_sql(
     where: str = "TRUE",
 ) -> str:
     """DuckDB twin of chunk_documents (1-based list slicing; same ceil
-    formula)."""
+    formula, same empty-text guard)."""
     step = max_tokens - overlap
     return f"""
 WITH base AS (
-  SELECT {id_col}, regexp_split_to_array(trim({text_col}), '\\s+') AS toks
+  SELECT {id_col},
+         CASE WHEN trim({text_col}) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim({text_col}), '\\s+') END AS toks
   FROM {table} WHERE {text_col} IS NOT NULL AND ({where})
 ),
 sized AS (

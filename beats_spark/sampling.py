@@ -27,15 +27,29 @@ def _hex_threshold(rate: float) -> str:
     return format(min(n, _HEX_SPACE - 1), "08x")
 
 
+_NULL_ID = "\x00null"  # sentinel so a null id gets ONE well-defined decision
+
+
 def _decision_hex(id_col: str, salt: str) -> Column:
+    # coalesce (not concat_ws null-skipping) so Spark and DuckDB hash the
+    # same string for null ids: concat_ws would silently drop the null while
+    # the SQL `||` yields NULL — the engines would diverge on null-id rows.
     return F.substring(
-        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))),
+        F.md5(
+            F.concat(
+                F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL_ID)),
+                F.lit(":" + salt),
+            )
+        ),
         1, 8,
     )
 
 
 def _decision_hex_sql(id_col: str, salt: str) -> str:
-    return f"substr(md5(CAST({id_col} AS VARCHAR) || ':{salt}'), 1, 8)"
+    return (
+        f"substr(md5(coalesce(CAST({id_col} AS VARCHAR), chr(0) || 'null')"
+        f" || ':{salt}'), 1, 8)"
+    )
 
 
 def deterministic_sample(df: DataFrame, rate: float, id_col: str = "doc_id",

@@ -22,6 +22,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from beats_spark.scale import truncate_lineage
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -262,6 +264,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     kmeans_iters: int = 0,
+    reliable: bool = False,
 ) -> DataFrame:
     """IVF-flat: centroids = deterministic distributed sample (optionally
     refined by distributed Lloyd iterations), vectors assigned to their
@@ -275,7 +278,10 @@ def ivf_topk(
     at 10^9+ vectors (the round-1 version collected EVERY id — driver OOM
     at scale). With kmeans_iters > 0 the seed is refined fully in Spark:
     assign (broadcast join) → per-cell per-dimension mean (posexplode +
-    groupBy avg) → re-assemble centroids — never a driver-side vector."""
+    groupBy avg) → re-assemble centroids — never a driver-side vector.
+    `reliable=True` makes the per-iteration centroid truncation
+    cluster-durable (checkpoint dir / DISK_ONLY), same flag convention as
+    graph.assign_components and dedup.minhash_dedup."""
     cents = (
         vectors.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
         .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
@@ -298,12 +304,12 @@ def ivf_topk(
                 "cell_id",
                 F.expr("transform(_s, x -> cast(x._m as float))").alias("_cvec"),
             )
-            # n_cells rows: materialize so the assign/probe/broadcast
-            # consumers don't each re-run the whole refinement lineage
-            # (eager=False: constructing the plan triggers no job; the tiny
-            # frame pins on first use)
-            .localCheckpoint(eager=False)
         )
+        # n_cells rows: materialize so the assign/probe/broadcast consumers
+        # don't each re-run the whole refinement lineage (eager=False:
+        # constructing the plan triggers no job; the tiny frame pins on
+        # first use). reliable=True → cluster-durable truncation.
+        cents = truncate_lineage(cents, reliable=reliable, eager=False)
 
     va = _assign_cells(v, cents, "neighbor_id")
 

@@ -120,12 +120,59 @@ def test_validity_intervals_tile_the_timeline(spark):
         assert rows[-1].valid_to is None
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from
-    # closed spans are directly interval_join-able (half-open: hi-1)
-    closed = validity_intervals(st, on="k", ts="ts").where(
-        F.col("valid_to").isNotNull()
-    ).select("k", F.col("valid_from").alias("lo"),
-             (F.col("valid_to") - 1).alias("hi"), "v")
-    ev = spark.createDataFrame([(1, 5), (1, 19), (1, 25)], "k int, ts long")
-    got = {r.ts: r.v for r in
-           interval_join(ev, closed, on="k", bucket=16).collect()}
-    assert got == {5: 100, 19: 100, 25: 200}
+    # spans compose directly with closed="left": half-open boundaries and
+    # the open (null valid_to) span both resolve — asof semantics exactly
+    spans_df = validity_intervals(st, on="k", ts="ts").select(
+        "k", F.col("valid_from").alias("lo"), F.col("valid_to").alias("hi"), "v"
+    )
+    ev = spark.createDataFrame(
+        [(1, 5), (1, 19), (1, 20), (1, 25), (1, 99), (2, 7)],
+        "k int, ts long",
+    )
+    joined = interval_join(ev, spans_df, on="k", bucket=16, closed="left")
+    got = {(r.k, r.ts): r.v for r in joined.collect()}
+    # every event matches exactly one span: boundary ts=20 → the NEW state,
+    # ts=99 → key 1's open span, key 2's only (open) span covers ts=7
+    assert joined.count() == len(got) == 6
+    assert got == {(1, 5): 100, (1, 19): 100, (1, 20): 200,
+                   (1, 25): 200, (1, 99): 300, (2, 7): 900}
+
+
+def test_half_open_matches_bruteforce_with_open_spans(spark):
+    """closed="left": lo <= ts < hi, null hi = still-open span matching
+    every ts >= lo — brute-force comparison over random data."""
+    import random
+
+    rnd = random.Random(20260819)
+    evs, ivs = [], []
+    for k in range(80):
+        for ts in rnd.sample(range(1000), rnd.randint(1, 5)):
+            evs.append((k, ts))
+        for i in range(rnd.randint(0, 3)):
+            lo = rnd.randrange(1000)
+            hi = None if rnd.random() < 0.3 else lo + rnd.randrange(0, 300)
+            ivs.append((k, lo, hi, f"w{k}-{i}"))
+    ev = spark.createDataFrame(evs, "k int, ts long")
+    iv = spark.createDataFrame(ivs, "k int, lo long, hi long, w string")
+
+    got = sorted(
+        (r.k, r.ts, r.w)
+        for r in interval_join(ev, iv, on="k", bucket=64,
+                               closed="left").collect()
+    )
+    want = sorted(
+        (k, ts, w)
+        for k, ts in evs
+        for k2, lo, hi, w in ivs
+        if k2 == k and lo <= ts and (hi is None or ts < hi)
+    )
+    assert got == want
+
+
+def test_closed_both_drops_null_hi_and_rejects_bad_mode(spark):
+    ev = spark.createDataFrame([(1, 10)], "k int, ts long")
+    iv = spark.createDataFrame([(1, 0, None, "open")],
+                               "k int, lo long, hi long, w string")
+    assert interval_join(ev, iv, on="k").count() == 0  # documented "both"
+    with pytest.raises(ValueError, match="closed"):
+        interval_join(ev, iv, on="k", closed="right")

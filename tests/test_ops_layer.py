@@ -93,7 +93,50 @@ def test_checkpoint_resume_no_loss_no_dup(spark, tmp_path):
     assert {k: v["rows"] for k, v in m3["sinks"].items()} == {
         k: v["rows"] for k, v in m2["sinks"].items()
     }
+    # no staging residue after a clean finish
+    import os
+
+    assert not any(d.startswith("_staging") for d in os.listdir(base))
     routed.unpersist()
+
+
+def test_checkpoint_single_pass_no_extra_persist(spark, tmp_path):
+    """The resumable writer runs ONE partitionBy write job + one footer
+    count per sink — no persist of the routed frame, no per-sink filter
+    passes (was: persist + N filtered writes)."""
+    import pyspark.sql.readwriter as RW
+
+    base = str(tmp_path / "ckpt_sp")
+    routed = full_pipeline(spark, SF_SMOKE)  # NOT cached by the test
+    before = {rdd_id for rdd_id in
+              spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    saves, persists = [], []
+    orig_save = RW.DataFrameWriter.save
+    orig_persist = type(routed).persist
+
+    def counting_save(self, path=None, **kw):
+        saves.append(path)
+        return orig_save(self, path, **kw)
+
+    def counting_persist(self, *a, **kw):
+        persists.append(1)
+        return orig_persist(self, *a, **kw)
+
+    RW.DataFrameWriter.save = counting_save
+    type(routed).persist = counting_persist
+    try:
+        m = checkpointed_fan_out(routed, base, job_id="sp1")
+    finally:
+        RW.DataFrameWriter.save = orig_save
+        type(routed).persist = orig_persist
+    assert len(m["sinks"]) >= 3
+    assert len(saves) == 1 and "_staging_sp1" in saves[0]
+    assert persists == []  # the writer caches nothing
+    after = {rdd_id for rdd_id in
+             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+    assert after == before
+    assert all(verify_manifest(spark, base).values())
 
 
 def test_checkpoint_new_job_restarts(spark, tmp_path):

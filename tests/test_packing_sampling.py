@@ -191,3 +191,42 @@ def test_chunk_then_pack_never_truncates(spark):
     # composition contract: no chunk exceeds capacity, so truncate mode
     # packs every token
     assert all(r["packed_tokens"] == r["n_tokens"] for r in packed)
+
+
+def test_sample_null_ids_agree_with_duckdb(spark):
+    """Null ids hash through the same sentinel on both engines — one
+    well-defined decision per (salt), never a silent concat_ws skip vs a
+    NULL-propagating `||`."""
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (None, "b")], "doc_id long, source string"
+    )
+    got = sorted(
+        ((r.doc_id, r.source, r.sampled) for r in
+         S.deterministic_sample(df, 0.5, salt="s7").collect()),
+        key=str,
+    )
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(doc_id BIGINT, source VARCHAR)")
+    con.sql("INSERT INTO t VALUES (NULL,'a'),(1,'a'),(NULL,'b')")
+    hexv = S._decision_hex_sql("doc_id", "s7")
+    thr = S._hex_threshold(0.5)
+    want = sorted(
+        con.sql(f"SELECT doc_id, source, {hexv} < '{thr}' FROM t").fetchall(),
+        key=str,
+    )
+    assert got == [tuple(w) for w in want]
+    # null ids share one decision (same hash input), not a NULL keep flag
+    nulls = {g[2] for g in got if g[0] is None}
+    assert len(nulls) == 1 and None not in nulls
+
+
+def test_pack_sequences_string_ids(spark):
+    """id_col type flows through the applyInPandas schema — string ids
+    pack without miscast (was hardcoded LongType)."""
+    df = spark.createDataFrame(
+        [("d1", 30), ("d2", 40), ("d3", 50), ("d4", 20)],
+        "doc_id string, n_tokens long",
+    )
+    out = P.pack_sequences(df, capacity=64).collect()
+    assert {r.doc_id for r in out} == {"d1", "d2", "d3", "d4"}
+    assert all(isinstance(r.doc_id, str) and r.seq_id for r in out)
