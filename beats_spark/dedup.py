@@ -20,6 +20,8 @@ degenerate buckets (all-identical spam shingles).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -381,13 +383,33 @@ def _prefix_filter_pairs(base: DataFrame, threshold: float) -> DataFrame:
 # -- simhash (vectorized numpy over Arrow batches) ---------------------------
 
 
+def _md5_token_hashes(flat: np.ndarray) -> np.ndarray:
+    """64-bit token hash = first 8 bytes of md5(token), big-endian.
+
+    md5 exists in Spark, DuckDB, and hashlib with identical output, so the
+    WHOLE simhash pipeline is reproducible in the SQL oracle (the previous
+    pd.util.hash_array siphash was engine-private). Python md5 runs once
+    per UNIQUE token in the Arrow batch (np.unique inverse-mapping), not
+    per occurrence — vocabulary ≪ token count."""
+    uniq, inv = np.unique(flat, return_inverse=True)
+    vals = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(t).encode()).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[inv]
+
+
 def simhash_series(texts: pd.Series) -> pd.Series:
     """64-bit simhash per text: sign of per-bit sum of token-hash bits.
 
-    Fully batch-vectorized: all tokens of the Arrow batch are flattened
-    into one array, hashed in one `pd.util.hash_array` call (deterministic
-    64-bit siphash with a fixed key), expanded to a bit matrix, and
-    segment-summed per document — zero per-token Python."""
+    Batch-vectorized: all tokens of the Arrow batch are flattened into one
+    array, md5-hashed per unique token (`_md5_token_hashes`), expanded to a
+    bit matrix, and segment-summed per document — per-UNIQUE-token Python
+    only, all per-occurrence work in numpy."""
     tok_lists = texts.map(
         lambda t: str(t).lower().split() if t is not None else []
     )
@@ -397,7 +419,7 @@ def simhash_series(texts: pd.Series) -> pd.Series:
     if lengths.sum() == 0:
         return pd.Series(sig, index=texts.index)
     flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    hashes = pd.util.hash_array(flat)  # (N,) uint64, deterministic
+    hashes = _md5_token_hashes(flat)  # (N,) uint64, deterministic
     bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int32)  # (N, 64)
     doc_ids = np.repeat(np.arange(n_docs), lengths)

@@ -1141,10 +1141,66 @@ def q_minhash_dedup_cc(spark, sf_dir):
 # driver records the weaker rows-only check; pytest covers exact behavior)
 
 
-@register("simhash_pairs")
+# DuckDB recompute of the ENTIRE simhash pipeline: the 64-bit token hash is
+# the first 8 md5 bytes (dedup._md5_token_hashes), so bit b of token t is
+# nibble (15 - b//4) of md5(t) shifted by b%4 — SQL below extracts it with
+# strpos on the hex digest. Votes, chunking into 4×16-bit words, and
+# hamming via per-chunk xor+bit_count replay dedup.simhash_near_pairs
+# exactly; max_hamming=3 keeps the Spark side's pigeonhole blocking
+# EXHAUSTIVE (any pair within hamming 3 of 64 bits shares a 16-bit chunk),
+# so the brute-force oracle is an equality check.
+_SIMHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 1500
+),
+th AS (SELECT doc_id, md5(t.t) AS h FROM d, unnest(toks) AS t(t)),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, 16 - (bb.b // 4), 1)) - 1)
+                        >> (bb.b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY 1, 2
+),
+ch AS (
+  SELECT doc_id, CAST(b // 16 AS INT) AS c,
+         sum(CASE WHEN vote > 0 THEN 1 << (b % 16) ELSE 0 END) AS cv
+  FROM bits GROUP BY 1, 2
+),
+sig AS (SELECT doc_id,
+               max(CASE WHEN c = 0 THEN cv END) AS c0,
+               max(CASE WHEN c = 1 THEN cv END) AS c1,
+               max(CASE WHEN c = 2 THEN cv END) AS c2,
+               max(CASE WHEN c = 3 THEN cv END) AS c3
+        FROM ch GROUP BY doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
+@register("simhash_pairs", _SIMHASH_ORACLE)
 def q_simhash_pairs(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return D.simhash_near_pairs(docs, max_hamming=10)
+    """Simhash near-dup pairs at hamming ≤ 3 — ORACLED (was rows-only):
+    the md5-derived token hash makes every bit reproducible in DuckDB, and
+    max_hamming=3 is exactly the bound where the 4-chunk pigeonhole
+    blocking provably misses nothing, so oracle agreement pins the hash,
+    the blocking, and the verify. Sliced to doc_id < 1500 (no-op at the
+    correctness SF) to bound the oracle's brute-force pair join."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 1500)
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+    return D.simhash_near_pairs(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
 
 
 @register(
