@@ -1360,21 +1360,56 @@ def q_response_pairs(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-@register("media_decode")
+# ORACLED (was rows-only): synthesize_media writes REAL container headers
+# (PNG IHDR / GIF descriptor / JPEG SOF0 / WAV fmt) whose dimensions and
+# channel counts are pure functions of doc_id; decode_media's default
+# header mode parses them back from the BYTES with stdlib struct. The
+# oracle recomputes the planted metadata from doc_id alone — agreement
+# proves the binary build AND the binary parse round-trip, not just
+# plumbing. (byte_len stays out: zlib body length isn't SQL-expressible.)
+_MEDIA_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 IN (0, 1, 4) THEN 'image'
+         WHEN doc_id % 5 = 2 THEN 'audio' ELSE 'video' END AS kind,
+    CASE WHEN doc_id % 5 IN (0, 1, 4)
+         THEN 16 + (doc_id * 37) % 480 END AS w,
+    CASE WHEN doc_id % 5 IN (0, 1, 4)
+         THEN 16 + (doc_id * 53) % 360 END AS h,
+    CASE WHEN doc_id % 5 = 0 THEN
+           CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 3 END
+         WHEN doc_id % 5 = 1 THEN
+           CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+         WHEN doc_id % 5 = 2 THEN 1 + doc_id % 2
+         WHEN doc_id % 5 = 4 THEN 3 END AS ch
+  FROM documents)
+SELECT kind, count(*) AS n, count(*) AS n_ok,
+       min(w) AS min_w, max(h) AS max_h,
+       CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(sum(ch) AS BIGINT) AS sum_channels
+FROM m GROUP BY kind
+"""
+
+
+@register("media_decode", _MEDIA_ORACLE)
 def q_media_decode(spark, sf_dir):
-    """Multimodal plumbing under the rows-only gate: synthesize binary
-    media from documents, decode via mapInPandas, aggregate stats."""
+    """Multimodal round-trip: synthesize binary media with real headers,
+    parse dimensions/channels back OUT of the bytes via the stdlib header
+    decoder (mapInPandas), aggregate per kind. Oracle recomputes the
+    planted values from doc_id — see _MEDIA_ORACLE."""
     import beats_spark.multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = M.synthesize_media(docs)
-    decoded = M.decode_media(media)
+    decoded = M.decode_media(media)  # default: real header parse
     return decoded.groupBy("kind").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.min("width").alias("min_w"),
         F.max("height").alias("max_h"),
-        F.sum("byte_len").alias("total_bytes"),
+        F.sum("width").alias("sum_w"),
+        F.sum("height").alias("sum_h"),
+        F.sum("channels").alias("sum_channels"),
     )
 
 

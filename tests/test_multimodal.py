@@ -39,9 +39,35 @@ def test_media_stats(media):
     assert out.filter(F.col("magic_hex").isNull()).count() == 0
 
 
+def test_decode_media_header_roundtrip(media):
+    """Default decode = REAL header parse: every synthesized container's
+    planted dimensions/channels come back out of the BYTES."""
+    rows = {r.media_id: r for r in M.decode_media(media).collect()}
+    assert all(r.ok for r in rows.values())
+    for mid, r in rows.items():
+        if mid % 5 in (0, 1, 4):  # jpeg / png / gif
+            assert r.kind == "image"
+            assert r.width == M.media_width(mid)
+            assert r.height == M.media_height(mid)
+        elif mid % 5 == 2:  # wav: channels from the fmt chunk
+            assert r.kind == "audio"
+            assert (r.width, r.height) == (None, None)
+            assert r.channels == 1 + mid % 2
+        else:  # mp4: recognized, dims out of header scope
+            assert r.kind == "video"
+            assert (r.width, r.height, r.channels) == (None, None, None)
+
+
+def test_parse_media_header_corrupt_and_truncated():
+    assert M.parse_media_header(b"garbage")[-1] is False
+    assert M.parse_media_header(b"\x89PNG\r\n\x1a\nxx")[-1] is False
+    # JPEG with no SOF before the buffer ends → unparsed, not a crash
+    assert M.parse_media_header(b"\xff\xd8\xff\xe0\x00\x04ab")[-1] is False
+
+
 def test_decode_media_fake_deterministic(media):
-    a = M.decode_media(media).collect()
-    b = M.decode_media(media).collect()
+    a = M.decode_media(media, mode="fake").collect()
+    b = M.decode_media(media, fake=True).collect()  # legacy flag alias
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     for r in a:
         assert r.ok and 16 <= r.width < 256 and r.channels in (1, 3)
@@ -110,9 +136,10 @@ def test_real_decode_without_pillow_raises(spark):
         decode_media(df, fake=False).collect()
 
 
-def test_auto_decode_falls_back_to_fake(spark):
+def test_auto_decode_works_without_pillow(spark):
     from beats_spark.multimodal import decode_media, synthesize_media
 
     docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
-    out = decode_media(synthesize_media(docs), fake=None).collect()
-    assert len(out) == 1  # works with or without Pillow installed
+    out = decode_media(synthesize_media(docs), mode="auto").collect()
+    assert len(out) == 1  # Pillow when present, header parse otherwise
+    assert out[0].ok  # doc_id 1 → PNG with a parseable IHDR either way
