@@ -1251,6 +1251,165 @@ def q_ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(embs, q, k=5, n_cells=8, n_probe=4, kmeans_iters=1)
 
 
+# recall@k oracles: DuckDB recomputes BOTH sides — the exact brute-force
+# top-k AND the approximate index itself (the LSH variant uses data-vector
+# hyperplanes, the IVF variant an id-range centroid slice, so bucket
+# assignment is plain SQL arithmetic) — then replays the hit join. A green
+# row therefore pins candidate generation, ranking, and the recall math,
+# not just the arithmetic on Spark-computed inputs.
+
+_EXACT_TOPK_CTE = """
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.vv, n.vv)
+                      / (sqrt(list_dot_product(q.vv, q.vv))
+                         * sqrt(list_dot_product(n.vv, n.vv))) DESC,
+                      n.vec_id) AS rank
+    FROM v q CROSS JOIN v n
+    WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id)
+  WHERE rank <= 5
+)
+"""
+
+_RECALL_TAIL = """
+SELECT 5 AS k,
+       count(DISTINCT e.query_id) AS n_queries,
+       count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS recall
+FROM exact e
+LEFT JOIN approx a
+       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+"""
+
+
+@register(
+    "ann_lsh_recall",
+    f"""
+WITH {_EXACT_TOPK_CTE},
+p AS (
+  SELECT CAST((vec_id - 100) // 3 AS INT) AS tbl,
+         (vec_id - 100) % 3 AS bit,
+         CAST(embedding AS DOUBLE[]) AS pv
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < 115),
+sig AS (
+  SELECT v.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(vv, pv) > 0
+                  THEN 1 << bit ELSE 0 END) AS sg
+  FROM v CROSS JOIN p GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+  FROM sig s JOIN sig q ON s.tbl = q.tbl AND s.sg = q.sg
+  WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY list_dot_product(qv.vv, nv.vv)
+                      / (sqrt(list_dot_product(qv.vv, qv.vv))
+                         * sqrt(list_dot_product(nv.vv, nv.vv))) DESC,
+                      c.neighbor_id) AS rank
+    FROM cand c
+    JOIN v qv ON qv.vec_id = c.query_id
+    JOIN v nv ON nv.vec_id = c.neighbor_id)
+  WHERE rank <= 5
+)
+{_RECALL_TAIL}
+""",
+)
+def q_ann_lsh_recall(spark, sf_dir):
+    """recall@5 of the data-plane LSH index vs exact brute-force cosine —
+    one row (k, n_queries, n_exact, n_hit, recall). The oracle recomputes
+    the LSH buckets, the candidate join, the within-bucket ranking, the
+    exact top-k, AND the hit join entirely in DuckDB.
+
+    Params (3 bits × 5 tables) were swept against this corpus: the
+    synthetic embeddings are near-random (weak label clusters), so recall
+    tracks the candidate fraction — 0.68 recall examining ~47% of pairs
+    here; sharper buckets (8 bits) collapse to recall 0 because exact
+    8-bit signature agreement is rare without real cluster structure.
+    Real embedding corpora sit far above this floor; the point of the
+    QUERY is the driver-verified recall measurement itself."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(embs, q, k=5)
+    approx = SIM.lsh_topk_data_planes(
+        embs, q, k=5, n_planes=3, n_tables=5, plane_id_start=100
+    )
+    return SIM.recall_vs_exact(approx, exact, k=5)
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+WITH {_EXACT_TOPK_CTE},
+cents AS (
+  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= 200 AND vec_id < 208),
+assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.vv, c.cv)
+                      / (sqrt(list_dot_product(v.vv, v.vv))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM v CROSS JOIN cents c)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT v.vec_id, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.vv, c.cv)
+                      / (sqrt(list_dot_product(v.vv, v.vv))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM v CROSS JOIN cents c WHERE v.vec_id < 10)
+  WHERE rn <= 3),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+  WHERE a.vec_id <> p.query_id),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY list_dot_product(qv.vv, nv.vv)
+                      / (sqrt(list_dot_product(qv.vv, qv.vv))
+                         * sqrt(list_dot_product(nv.vv, nv.vv))) DESC,
+                      c.neighbor_id) AS rank
+    FROM cand c
+    JOIN v qv ON qv.vec_id = c.query_id
+    JOIN v nv ON nv.vec_id = c.neighbor_id)
+  WHERE rank <= 5
+)
+{_RECALL_TAIL}
+""",
+)
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@5 of IVF-flat (explicit id-range centroid slice, n_probe=3)
+    vs exact brute-force cosine — the oracle recomputes cell assignment,
+    probing, within-cell ranking, exact top-k, and the hit join."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 10)
+    cents = embs.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    exact = SIM.cosine_topk(embs, q, k=5)
+    approx = SIM.ivf_topk(
+        embs, q, k=5, n_cells=8, n_probe=3, centroids=cents
+    )
+    return SIM.recall_vs_exact(approx, exact, k=5)
+
+
 # --------------------------------------------------------------------------
 # §2.10 Spark-native analytics over transcripts (sort/top-k, grouping sets,
 # window functions, self-join) — free from the engine, exposed as queries

@@ -254,6 +254,104 @@ def _assign_cells(v: DataFrame, cents: DataFrame, id_name: str) -> DataFrame:
     )
 
 
+def lsh_topk_data_planes(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    plane_id_start: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH top-k with DATA-VECTOR hyperplanes — the engine-reproducible
+    twin of `lsh_topk`: table t's planes are the corpus vectors with ids
+    [start + t·P, start + (t+1)·P), signature bit = sign of the dot
+    product against each plane. Everything is Column expressions (the dot
+    runs in whole-stage codegen via zip_with/aggregate — no UDF, no numpy
+    plane matrix), so a SQL oracle can recompute the identical buckets,
+    candidates, and ranking end-to-end; this powers the driver-verified
+    recall@k query (ann_lsh_recall).
+
+    Scale shape = lsh_topk's: planes broadcast (T·P rows); per-vector
+    signatures partial-aggregate map-side so the exchange carries bare
+    (id, table, sig) triples; candidates are bare id pairs; vectors join
+    back BY ID for scoring only."""
+    n_total = n_planes * n_tables
+    planes = vectors.where(
+        (F.col(id_col) >= plane_id_start)
+        & (F.col(id_col) < plane_id_start + n_total)
+    ).select(
+        ((F.col(id_col) - plane_id_start) / n_planes)
+        .cast("int").alias("_tbl"),
+        ((F.col(id_col) - plane_id_start) % n_planes).alias("_bit"),
+        F.col(vec_col).alias("_pvec"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+
+    def sigs(side: DataFrame, idn: str, vecn: str) -> DataFrame:
+        weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT))")
+        return (
+            side.crossJoin(F.broadcast(planes))
+            .groupBy(idn, "_tbl")
+            .agg(
+                F.sum(
+                    F.when(_dot(F.col(vecn), F.col("_pvec")) > 0, weight)
+                    .otherwise(F.lit(0).cast("long"))
+                ).alias("_sig")
+            )
+        )
+
+    cands = (
+        sigs(v, "neighbor_id", "_vvec")
+        .join(sigs(q, "query_id", "_qvec"), ["_tbl", "_sig"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(q, "query_id")
+        .withColumn(
+            "score",
+            _dot(F.col("_qvec"), F.col("_vvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """One-row recall@k of `approx` against `exact` (both (query_id,
+    neighbor_id[, ...]) top-k listings): n_queries, n_exact, n_hit,
+    recall. A left join on bare id pairs — both sides are k·|Q| rows."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    joined = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    ).select(
+        F.lit(k).alias("k"),
+        "n_queries",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -265,6 +363,7 @@ def ivf_topk(
     query_id_col: str = "vec_id",
     kmeans_iters: int = 0,
     reliable: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat: centroids = deterministic distributed sample (optionally
     refined by distributed Lloyd iterations), vectors assigned to their
@@ -281,12 +380,22 @@ def ivf_topk(
     groupBy avg) → re-assemble centroids — never a driver-side vector.
     `reliable=True` makes the per-iteration centroid truncation
     cluster-durable (checkpoint dir / DISK_ONLY), same flag convention as
-    graph.assign_components and dedup.minhash_dedup."""
-    cents = (
-        vectors.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec"))
-        .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
-        .limit(n_cells)
-    )
+    graph.assign_components and dedup.minhash_dedup. An explicit
+    `centroids` frame (id_col + vec_col) overrides the xxhash64 sample —
+    the ann_ivf_recall oracle passes a plain id-range slice so DuckDB can
+    reproduce the seed set (it has no xxhash64)."""
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        cents = (
+            vectors.select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec")
+            )
+            .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
+            .limit(n_cells)
+        )
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 

@@ -392,3 +392,29 @@ def test_normalize_unicode(spark):
         for r in X.normalize_unicode(df, form="NFKC").collect()
     }
     assert nfkc[0] == "Café and fine"
+
+
+def test_lsh_data_planes_and_recall_row(spark, embs):
+    """The SQL-reproducible LSH twin: pure-Column signatures, ranked
+    candidates, and recall_vs_exact emits a correct single-row summary."""
+    q = embs.filter(F.col("vec_id") < 5)
+    approx = S.lsh_topk_data_planes(embs, q, k=5, n_planes=3, n_tables=5)
+    rows = approx.collect()
+    assert rows and all(r.neighbor_id != r.query_id for r in rows)
+    exact = S.cosine_topk(embs, q, k=5)
+    rec = S.recall_vs_exact(approx, exact, k=5).first()
+    assert rec.k == 5 and rec.n_queries == 5 and rec.n_exact == 25
+    b = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    assert rec.n_hit == len(a & b)
+    assert abs(rec.recall - len(a & b) / 25) < 1e-9
+
+
+def test_ivf_explicit_centroids(spark, embs):
+    """Explicit centroid frame overrides the xxhash64 sample and keeps
+    results deterministic — the oracle-reproducible seed path."""
+    q = embs.filter(F.col("vec_id") < 5)
+    cents = embs.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    a = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=3, centroids=cents)
+    b = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=3, centroids=cents)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
