@@ -301,3 +301,79 @@ def test_stream_asof_enrich_foreachbatch_equal_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch
+
+
+def test_stream_module_bank_resume_golden_equal(spark, tmp_path):
+    """Module-pipeline streaming parity with checkpointed resume: the
+    apache access bank runs under foreachBatch; the source arrives in two
+    file batches with a full stop between them (the kill), the second run
+    resumes from the SAME checkpoint and must process only the new file —
+    the union of both runs equals the batch run over every line (which
+    tests/test_modules.py pins golden-equal to the reference), with no
+    lost and no duplicated line across the kill/resume."""
+    import json
+    import os
+
+    from beats_spark.modules import apache_access
+
+    import glob
+
+    ref = "/root/reference/filebeat/module/apache/access/test"
+    lines = []
+    for path in sorted(glob.glob(f"{ref}/*.log")):
+        with open(path) as f:
+            lines += f.read().splitlines()
+    assert len(lines) >= 20  # all five golden files
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    half = len(lines) // 2
+    df_all = spark.createDataFrame(
+        list(enumerate(lines)), "idx long, message string"
+    )
+    batch = {
+        r["idx"]: json.dumps(r, sort_keys=True, default=str)
+        for r in (
+            x.asDict(recursive=True)
+            for x in apache_access(df_all).collect()
+        )
+    }
+
+    def arrive(part, lo, hi):
+        df = spark.createDataFrame(
+            list(enumerate(lines))[lo:hi], "idx long, message string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/batch={part}")
+
+    def run_stream():
+        sdf = (
+            spark.readStream.schema("idx long, message string")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda frame, _eid:
+                apache_access(frame).write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    arrive(0, 0, half)
+    run_stream()          # first run, then the stream is fully stopped
+    n_first = spark.read.parquet(out).count()
+    assert n_first == half
+
+    arrive(1, half, len(lines))
+    run_stream()          # resume: same checkpoint, only the new file
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {
+        r["idx"]: json.dumps(r, sort_keys=True, default=str)
+        for r in (x.asDict(recursive=True) for x in got_rows)
+    }
+    assert len(got_rows) == len(lines)  # no loss, no dup across resume
+    assert got == batch                 # field-identical to the batch bank
