@@ -62,3 +62,20 @@ def test_parse_failure_sets_error_struct(spark):
     rows = {r.text: r for r in g.collect()}
     assert rows["nope"].error is not None
     assert rows["a=1 ok"].error is None
+
+
+def test_iceberg_gate_reports_exact_blocker(spark):
+    """format='iceberg' is wired but env-gated: without the runtime jar the
+    probe is False and fan_out_iceberg raises the recorded blocker; with a
+    jar present the same call writes one partitioned table."""
+    from beats_spark.routing import fan_out_iceberg, iceberg_available
+
+    df = spark.createDataFrame([(1, "a")], "x int, _sink string")
+    if iceberg_available(spark):
+        import pytest as _pytest
+
+        _pytest.skip("Iceberg runtime present: gate branch unreachable")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="DATA_SOURCE_NOT_FOUND"):
+        fan_out_iceberg(df, "local.db.routed")
