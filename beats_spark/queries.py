@@ -198,18 +198,12 @@ def q_grok_parse(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@register(
-    "route_counts",
-    oracle_cte()
-    + f"""
-SELECT {_sink_case_sql()} AS sink, count(*) AS n_rows,
-       count(DISTINCT conv_id) AS n_convs
-FROM transcripts GROUP BY 1
-""",
-)
 def q_route_counts(spark, sf_dir):
-    # exact distinct via mid-grain (sink, conv_id) two-stage agg — no
-    # countDistinct Expand (see pipeline.sink_aggregates)
+    # UNREGISTERED since round 4 (registry consolidation, VERDICT r3 item
+    # 1): per-sink counts are strictly subsumed by routed_rows' full
+    # row-equality oracle + sink_aggregates' per-(sink,role) counts. Kept
+    # as a function because test_plans pins its no-Expand mid-grain shape
+    # ((sink, conv_id) two-stage agg — see pipeline.sink_aggregates).
     routed = full_pipeline(spark, sf_dir)
     mid = routed.groupBy(F.col("_sink").alias("sink"), "conv_id").agg(
         F.count("*").alias("_n")
@@ -432,16 +426,23 @@ def q_ratelimit(spark, sf_dir):
     + f"""
 SELECT {ISO.format(col="time_bucket(INTERVAL '1 hour', ts)")} AS window_start,
        role, count(*) AS n_events, count(DISTINCT conv_id) AS n_convs,
-       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls
+       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls,
+       CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+       max(length(text)) AS max_bytes
 FROM transcripts GROUP BY 1, 2
 """,
 )
 def q_flows_window(spark, sf_dir):
-    # mid-grain (window, role, conv_id) two-stage — exact distinct, no Expand
+    # mid-grain (window, role, conv_id) two-stage — exact distinct, no
+    # Expand. Byte-volume stats (formerly the separate flows_bytes query,
+    # folded in for registry consolidation, VERDICT r3 item 1) ride the
+    # same mid-grain partial agg for free.
     t = load_transcripts(spark, sf_dir)
     mid = t.groupBy(F.window("ts", "1 hour").alias("w"), "role", "conv_id").agg(
         F.count("*").alias("_n"),
         F.sum(_tool_call_col()).alias("_tcc"),
+        F.sum(F.length("text")).alias("_sb"),
+        F.max(F.length("text")).alias("_mb"),
     )
     return (
         mid.groupBy("w", "role")
@@ -449,10 +450,13 @@ def q_flows_window(spark, sf_dir):
             F.sum("_n").alias("n_events"),
             F.count("*").alias("n_convs"),
             F.sum("_tcc").alias("tool_calls"),
+            F.sum("_sb").alias("sum_bytes"),
+            F.max("_mb").alias("max_bytes"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
-            "role", "n_events", "n_convs", "tool_calls",
+            "role", "n_events", "n_convs", "tool_calls", "sum_bytes",
+            "max_bytes",
         )
     )
 
@@ -804,36 +808,6 @@ def q_network_direction(spark, sf_dir):
 # --------------------------------------------------------------------------
 # 20. flows with byte counters (packetbeat flows parity)
 # --------------------------------------------------------------------------
-
-
-@register(
-    "flows_bytes",
-    oracle_cte()
-    + f"""
-SELECT {ISO.format(col="time_bucket(INTERVAL '6 hours', ts)")} AS window_start,
-       role,
-       count(*) AS n_events,
-       CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
-       max(length(text)) AS max_bytes,
-       CAST(sum({_TOOL_CALL_SQL}) AS BIGINT) AS tool_calls
-FROM transcripts GROUP BY 1, 2
-""",
-)
-def q_flows_bytes(spark, sf_dir):
-    t = load_transcripts(spark, sf_dir)
-    return (
-        t.groupBy(F.window("ts", "6 hours").alias("w"), "role")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.length("text")).alias("sum_bytes"),
-            F.max(F.length("text")).alias("max_bytes"),
-            F.sum(_tool_call_col()).alias("tool_calls"),
-        )
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("window_start"),
-            "role", "n_events", "sum_bytes", "max_bytes", "tool_calls",
-        )
-    )
 
 
 # --------------------------------------------------------------------------
@@ -3552,9 +3526,95 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Driver correctness-window ordering (VERDICT r3 items 1 & 10)
+#
+# The driver records CORRECTNESS rows for the FIRST 50 `queries()` entries
+# only. This list IS the window: the newest / least-proven queries — the
+# whole round-3 curation/temporal/OLAP tail plus everything added or
+# changed in round 4 — come first, followed by enough flagship §2 queries
+# to fill 50. The 27 entries outside the window all have 2-3 rounds of
+# driver-green history (or are rows-only by design with pytest pins) and
+# remain fully runnable via tools/check_oracle.py, which round 4's
+# BASELINE.md section reports over the COMPLETE registry.
+# --------------------------------------------------------------------------
+
+_DRIVER_WINDOW = [
+    # flagship first — the end-to-end routed pipeline rows
+    "transcripts",
+    "routed_rows",
+    # new or behavior-changed in round 4
+    "simhash_pairs",
+    "media_decode",
+    "ann_lsh_recall",
+    "ann_ivf_recall",
+    "flows_window",       # absorbed flows_bytes' byte stats this round
+    "stratified_sample",  # null-id sentinel change
+    "pack_sequences",     # id-type derivation change
+    "chunk_documents",    # empty-text guard change
+    # round-3 tail: driver-unverified until now (judge-green only)
+    "module_pensando_dfw",
+    "module_redis_slowlog",
+    "repetition_quality",
+    "decontaminate",
+    "gopher_filter",
+    "pii_redact",
+    "c4_clean",
+    "url_blocklist",
+    "span_dedup",
+    "normalize_unicode",
+    "curation_funnel",
+    "transcript_curation",
+    "transcript_pack",
+    "token_vocab",
+    "tool_transitions",
+    "conv_quality",
+    "asof_enrich",
+    "interval_overlap",
+    "state_intervals",
+    "sink_cube",
+    "conv_pattern",
+    "latency_quantiles",
+    "cohort_retention",
+    # long-green flagship slice filling the window to exactly 50
+    "grok_parse",
+    "sink_aggregates",
+    "conv_rollups",
+    "dissect_parse",
+    "condition_filter",
+    "enrich_translate",
+    "timestamp_parse",
+    "sessionize",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_dedup",
+    "prefix_jaccard_pairs",
+    "dedup_components",
+    "minhash_dedup",
+    "minhash_dedup_cc",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+]
+
+
+def _window_ordered(names: list[str]) -> list[str]:
+    missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+    extra_window = len(_DRIVER_WINDOW) - len(set(_DRIVER_WINDOW))
+    if missing or extra_window:
+        raise RuntimeError(
+            f"driver window drifted: missing={missing} dups={extra_window}"
+        )
+    rest = [n for n in names if n not in set(_DRIVER_WINDOW)]
+    return [*_DRIVER_WINDOW, *rest]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _window_ordered(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return {
+        n: ORACLES[n]
+        for n in _window_ordered(list(QUERIES))
+        if n in ORACLES
+    }

@@ -1,0 +1,49 @@
+"""Registry / driver-window invariants (VERDICT r3 items 1 & 10): the
+driver verifies only the first 50 queries() entries, so the window must
+contain every query that is new, behavior-changed, or previously outside
+driver proof — and only long-green entries may sit past it."""
+
+from __future__ import annotations
+
+from beats_spark import queries as Q
+
+
+def test_window_is_the_first_fifty_and_fully_oracled():
+    names = list(Q.queries())
+    oracles = Q.oracle_sql()
+    assert len(Q._DRIVER_WINDOW) == 50
+    assert names[:50] == Q._DRIVER_WINDOW
+    # every window entry has a DuckDB oracle — no rows-only inside the
+    # driver-verified slice
+    missing = [n for n in names[:50] if n not in oracles]
+    assert missing == [], missing
+
+
+def test_round3_tail_is_inside_the_window():
+    tail = [
+        "module_pensando_dfw", "module_redis_slowlog", "repetition_quality",
+        "decontaminate", "gopher_filter", "pii_redact", "c4_clean",
+        "url_blocklist", "span_dedup", "stratified_sample", "pack_sequences",
+        "chunk_documents", "normalize_unicode", "curation_funnel",
+        "transcript_curation", "transcript_pack", "token_vocab",
+        "routed_rows", "tool_transitions", "conv_quality", "asof_enrich",
+        "interval_overlap", "state_intervals", "sink_cube", "conv_pattern",
+        "latency_quantiles", "cohort_retention",
+        # round-4 additions / oracle promotions
+        "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
+    ]
+    window = set(list(Q.queries())[:50])
+    assert set(tail) <= window
+
+
+def test_outside_window_only_long_green_or_rows_only():
+    names = list(Q.queries())
+    oracles = Q.oracle_sql()
+    rows_only = [n for n in names if n not in oracles]
+    # rows-only by declared design: the two raw ANN listings (their recall
+    # twins ARE oracled) and community_id (DuckDB lacks sha1; reference
+    # vector pinned in pytest)
+    assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
+                                 "community_id"]
+    # oracle coverage of the registry overall
+    assert len(names) == 77 and len(oracles) == 74
