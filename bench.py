@@ -84,9 +84,17 @@ def main() -> None:
         # the small "cluster" outperforms its nominal size).
         replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "300"))
         pair = os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16")
+        # reps > 1 alternates lo,hi,lo,hi,... so BOTH legs sample the same
+        # host-noise windows (single-pair runs measured one leg fast and the
+        # other slow — 122k vs 167k turns/s on the identical 4-core leg an
+        # hour apart). Per-pair efficiencies are reported alongside a pooled
+        # figure built from each leg's best rep: host contention only ever
+        # subtracts throughput, so per-leg max is the least-noisy estimate of
+        # what the pinned core budget can actually sustain.
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
         lo, hi = (int(c) for c in pair.split(","))
-        results = {}
-        for cores in (lo, hi):
+
+        def one_leg(cores: int) -> dict:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                        SPARK_GRAFT_REPLICATE=str(replicate))
             # sink writes go to RAM-backed storage for BOTH legs: the box
@@ -105,15 +113,31 @@ def main() -> None:
                 pin + [sys.executable, __file__, "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
             )
-            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        tlo, thi = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
-        eff = (thi / tlo) / (hi / lo)
-        print(json.dumps({
-            "sf_dir": sf_dir, "replicate": replicate,
-            f"local{lo}": results[lo], f"local{hi}": results[hi],
-            "speedup": round(thi / tlo, 3),
-            "scaling_efficiency": round(eff, 3),
-        }))
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        pairs = []
+        for _ in range(reps):
+            rlo, rhi = one_leg(lo), one_leg(hi)
+            tlo, thi = rlo["turns_per_sec"], rhi["turns_per_sec"]
+            pairs.append({
+                f"local{lo}": rlo, f"local{hi}": rhi,
+                "speedup": round(thi / tlo, 3),
+                "scaling_efficiency": round((thi / tlo) / (hi / lo), 3),
+            })
+        best_lo = max(p[f"local{lo}"]["turns_per_sec"] for p in pairs)
+        best_hi = max(p[f"local{hi}"]["turns_per_sec"] for p in pairs)
+        out: dict = {"sf_dir": sf_dir, "replicate": replicate}
+        if reps == 1:
+            out.update(pairs[0])
+        else:
+            out.update({
+                "pairs": pairs,
+                "pooled_best_lo_turns_per_sec": best_lo,
+                "pooled_best_hi_turns_per_sec": best_hi,
+                "pooled_scaling_efficiency": round(
+                    (best_hi / best_lo) / (hi / lo), 3),
+            })
+        print(json.dumps(out))
         return
 
     from beats_spark.session import get_spark
