@@ -104,6 +104,21 @@ def load_transcripts(
     the realistic shape for skew/shuffle behavior at larger scale.
     """
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if replicate == 1:
+        # Pre-cluster by the window key with an EXPLICIT partition count.
+        # The test parquet is one row group ⇒ one scan split, and the
+        # turn_idx window's own exchange is AQE-coalesced to a single
+        # partition at this data size (measured: spark_partition_id
+        # distinct = 1 at sf0.1) — which serialized every downstream
+        # parse-stage pandas UDF onto one core. HashPartitioning(user_id, N)
+        # satisfies the window's ClusteredDistribution, so this REPLACES the
+        # window exchange rather than adding one, and an explicit N is
+        # exempt from AQE coalescing. At production scale the Iceberg scan
+        # arrives in thousands of splits and the window exchange is sized
+        # by AQE correctly; this branch is the small-input remedy only.
+        events = events.repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
     if replicate > 1:
         from pyspark.sql import functions as F
 

@@ -45,6 +45,7 @@ from beats_spark.pipeline import (
     parse_stage,
     sink_aggregates,
 )
+from beats_spark.scale import widen_scan
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1668,7 +1669,10 @@ def q_decode_xml(spark, sf_dir):
     event XML; malformed rows decode to null and flow into the NULL group."""
     from beats_spark.operators import parse as P
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     x = ev.selectExpr(f"{_XML_SQL} AS xml", "event_id")
     decoded = P.decode_xml(x, "xml", target="doc", ignore_failure=True)
     p = decoded.select(
@@ -1741,7 +1745,10 @@ def q_module_apache(spark, sf_dir):
     columns the line was printed from."""
     from beats_spark.modules import apache_access
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lines = ev.selectExpr(f"{_aa_line_sql('spark')} AS message")
     out = apache_access(lines)
     return out.groupBy(F.col("event_outcome").alias("outcome")).agg(
@@ -1817,7 +1824,10 @@ def q_module_system_auth(spark, sf_dir):
     independently from the event columns each line was printed from."""
     from beats_spark.modules import system_auth
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lines = ev.selectExpr(f"{_auth_line_sql('spark')} AS message")
     out = system_auth(lines)
     return out.groupBy(F.col("event_outcome").alias("outcome")).agg(
@@ -1858,7 +1868,10 @@ def q_module_kafka(spark, sf_dir):
     derives every expected field independently from the event columns."""
     from beats_spark.modules import kafka_log
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lines = ev.selectExpr(
         "printf('[%s] %s [Component id=%d] Handled partition %d "
         "(kafka.server.KafkaApis)', "
@@ -1896,7 +1909,10 @@ def q_community_id(spark, sf_dir):
     (reference communityid.go:89-105)."""
     from beats_spark.operators import network as NET
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     flows = ev.selectExpr(
         "printf('10.0.%d.%d', user_id % 250, event_id % 250) AS source_ip",
         "printf('192.168.%d.%d', event_id % 200, user_id % 200) AS destination_ip",
@@ -1981,7 +1997,10 @@ def q_module_iis_error(spark, sf_dir):
     independently from the event columns each line was printed from."""
     from beats_spark.modules import iis_error
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lines = ev.selectExpr(f"{_iis_error_line_sql('spark')} AS message")
     out = iis_error(lines)
     return out.groupBy(
@@ -2058,7 +2077,10 @@ def q_module_pensando_dfw(spark, sf_dir):
     chain."""
     from beats_spark.modules import pensando_dfw
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     lines = ev.selectExpr(f"{_pensando_line_sql('spark')} AS message")
     out = pensando_dfw(lines)
     return out.groupBy(
@@ -2142,7 +2164,10 @@ def q_module_redis_slowlog(spark, sf_dir):
     never touching the array logic under test."""
     from beats_spark.modules import redis_slowlog
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # single-row-group test parquet = 1 scan split; widen so the
+    # vectorized UDF bank below runs core-wide (no-op on real multi-
+    # split sources) — see beats_spark.scale.widen_scan
+    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
     replies = ev.selectExpr(*_SLOWLOG_REPLY_EXPRS)
     out = redis_slowlog(replies)
     return out.groupBy(

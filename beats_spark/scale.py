@@ -131,6 +131,28 @@ def truncate_lineage(df: DataFrame, reliable: bool = False,
     return df.persist(StorageLevel.DISK_ONLY)
 
 
+def widen_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a too-coarse source up to the core budget.
+
+    A CPU-heavy map stage (vectorized grok/dissect banks, shingle+minhash
+    folds) inherits the SCAN's partitioning: a single-row-group parquet
+    file, a gzip'd log, or a handful of small files gives Spark fewer
+    splits than cores and the whole parse runs on one task no matter how
+    large the cluster is. One cheap exchange of the raw rows buys full
+    parallelism for everything downstream until the first shuffle.
+
+    No-op when the source already has >= `parts` partitions — at real scale
+    (thousands of input splits) this never fires; it exists for exactly the
+    coarse-input regimes above. `parts` defaults to the session's
+    defaultParallelism (= total cores on local[N]).
+    """
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def stable_order(df: DataFrame, *cols: str) -> DataFrame:
     """sortWithinPartitions on the natural key — the cheap (no global shuffle)
     way to give every partition the stable (conv_id, turn_idx) order the
