@@ -1909,10 +1909,7 @@ def q_community_id(spark, sf_dir):
     (reference communityid.go:89-105)."""
     from beats_spark.operators import network as NET
 
-    # single-row-group test parquet = 1 scan split; widen so the
-    # vectorized UDF bank below runs core-wide (no-op on real multi-
-    # split sources) — see beats_spark.scale.widen_scan
-    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     flows = ev.selectExpr(
         "printf('10.0.%d.%d', user_id % 250, event_id % 250) AS source_ip",
         "printf('192.168.%d.%d', event_id % 200, user_id % 200) AS destination_ip",
@@ -2164,10 +2161,7 @@ def q_module_redis_slowlog(spark, sf_dir):
     never touching the array logic under test."""
     from beats_spark.modules import redis_slowlog
 
-    # single-row-group test parquet = 1 scan split; widen so the
-    # vectorized UDF bank below runs core-wide (no-op on real multi-
-    # split sources) — see beats_spark.scale.widen_scan
-    ev = widen_scan(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     replies = ev.selectExpr(*_SLOWLOG_REPLY_EXPRS)
     out = redis_slowlog(replies)
     return out.groupBy(
