@@ -395,13 +395,15 @@ def mysql_error(df: DataFrame, field: str = "message",
     datetime is interpreted in the event timezone, the ISO8601 variant is
     absolute — and the auth-failure enrichments (event.category/action/
     outcome appends, related.ip/user)."""
-    out = P.grok(df, MYSQL_ERROR_PATTERNS, field=field, target_prefix="parsed",
-                 pattern_definitions=MYSQL_ERROR_DEFINITIONS)
+    out = P.grok_chain(df, [
+        {"patterns": MYSQL_ERROR_PATTERNS, "target": "parsed",
+         "pattern_definitions": MYSQL_ERROR_DEFINITIONS},
+        {"patterns": MYSQL_ERROR_MSG_PATTERNS, "target": "parsed2",
+         "pattern_definitions": MYSQL_ERROR_MSG_DEFINITIONS,
+         "input": ("parsed", "message")},
+    ], field=field)
     p = F.col("parsed")
     out = out.withColumn("message_out", p["message"])
-    out = P.grok(out, MYSQL_ERROR_MSG_PATTERNS, field="message_out",
-                 target_prefix="parsed2", flag_failures=False,
-                 pattern_definitions=MYSQL_ERROR_MSG_DEFINITIONS)
     p2 = F.col("parsed2")
     # local datetime: collapse double space, zero-pad the hour, parse, then
     # shift from the event timezone; ISO8601: absolute, no shift
@@ -497,14 +499,15 @@ def postgresql_log(df: DataFrame, field: str = "message") -> DataFrame:
     (the non-CSV path). event.timezone comes from the log line itself; the
     timestamp parse uses the zone-name format ('zzz'), and event.duration
     is the statement duration in nanoseconds."""
-    out = P.grok(df, POSTGRESQL_ENTRY_PATTERNS, field=field,
-                 target_prefix="entry",
-                 pattern_definitions=POSTGRESQL_ENTRY_DEFINITIONS)
+    out = P.grok_chain(df, [
+        {"patterns": POSTGRESQL_ENTRY_PATTERNS, "target": "entry",
+         "pattern_definitions": POSTGRESQL_ENTRY_DEFINITIONS},
+        {"patterns": POSTGRESQL_LOG_PATTERNS, "target": "parsed",
+         "pattern_definitions": POSTGRESQL_LOG_DEFINITIONS,
+         "input": ("entry", "raw_message")},
+    ], field=field)
     e = F.col("entry")
     out = out.withColumn("raw_message", e["raw_message"])
-    out = P.grok(out, POSTGRESQL_LOG_PATTERNS, field="raw_message",
-                 target_prefix="parsed", flag_failures=False,
-                 pattern_definitions=POSTGRESQL_LOG_DEFINITIONS)
     p = F.col("parsed")
     ts = e["postgresql_log_timestamp"]
     out = out.withColumn("postgresql_log_timestamp", ts)
@@ -1399,8 +1402,15 @@ def nats_log(df: DataFrame, field: str = "message") -> DataFrame:
     """nats/log/ingest/pipeline.yml: three chained groks (frame, client
     split, protocol-message split), the level/type/direction maps as
     when-chains, micros timestamp, info+error event.type appends."""
-    out = P.grok(df, NATS_LOG_PATTERNS, field=field, target_prefix="parsed",
-                 pattern_definitions=NATS_LOG_DEFINITIONS)
+    out = P.grok_chain(df, [
+        {"patterns": NATS_LOG_PATTERNS, "target": "parsed",
+         "pattern_definitions": NATS_LOG_DEFINITIONS},
+        {"patterns": NATS_INFO_PATTERNS, "target": "p2",
+         "input": ("parsed", "nats_log_info")},
+        {"patterns": NATS_MSG_PATTERNS, "target": "p3",
+         "pattern_definitions": NATS_MSG_DEFINITIONS,
+         "input": ("p2", "nats_log_msg_info")},
+    ], field=field)
     p = F.col("parsed")
     out = out.withColumn(
         "parsed",
@@ -1408,13 +1418,8 @@ def nats_log(df: DataFrame, field: str = "message") -> DataFrame:
                                   _map_chain(p["log_level"], _NATS_LEVELS)),
     )
     out = out.withColumn("_info", F.col("parsed")["nats_log_info"])
-    out = P.grok(out, NATS_INFO_PATTERNS, field="_info",
-                 target_prefix="p2", flag_failures=False)
     p2 = F.col("p2")
     out = out.withColumn("_msg_info", p2["nats_log_msg_info"])
-    out = P.grok(out, NATS_MSG_PATTERNS, field="_msg_info",
-                 target_prefix="p3", flag_failures=False,
-                 pattern_definitions=NATS_MSG_DEFINITIONS)
     p3 = F.col("p3")
     out = out.withColumn("client_ip", p2["client_ip"])
     out = out.withColumn("client_port", p2["client_port"])
@@ -2024,28 +2029,29 @@ def system_auth(df: DataFrame, field: str = "message",
     iam event categorization, related.* appends, and the mixed
     offset/zoneless date chain. Golden parity vs the reference's
     test/*.log-expected.json is pinned in tests/test_modules.py."""
-    out = P.grok(df, AUTH_HEADER_PATTERNS, field=field,
-                 target_prefix="parsed",
-                 pattern_definitions=AUTH_HEADER_DEFINITIONS)
+    # one fused Arrow exchange for all three banks: header → specific auth
+    # messages (on the header's remainder) → PAM usernames (on rows the
+    # message bank left unmatched) — same cascade files.yml runs, minus two
+    # JVM↔Python round trips of the frame
+    out = P.grok_chain(df, [
+        {"patterns": AUTH_HEADER_PATTERNS, "target": "parsed",
+         "pattern_definitions": AUTH_HEADER_DEFINITIONS},
+        {"patterns": AUTH_MESSAGE_PATTERNS, "target": "_msg",
+         "input": ("parsed", "_temp_message")},
+        {"patterns": AUTH_PAM_PATTERNS, "target": "_pam",
+         "pattern_definitions": AUTH_PAM_DEFINITIONS,
+         "input": ("parsed", "_temp_message"), "only_if_unmatched": "_msg"},
+    ], field=field)
     p = F.col("parsed")
     out = out.withColumn("host_hostname", p["host_hostname"])
     out = out.withColumn("process_name", p["process_name"])
     out = out.withColumn("process_pid", p["process_pid"])
     out = out.withColumn("_tmpmsg", p["_temp_message"])
-
-    # stage 2: specific auth messages; on failure the remainder becomes
-    # `message` (files.yml pipeline on_failure rename)
-    out = P.grok(out, AUTH_MESSAGE_PATTERNS, field="_tmpmsg",
-                 target_prefix="_msg", flag_failures=False)
     m = F.col("_msg")
+    # on stage-2 failure the remainder becomes `message` (files.yml
+    # pipeline on_failure rename)
     out = out.withColumn("message_out",
                          F.when(m.isNull(), F.col("_tmpmsg")))
-
-    # stage 3: PAM usernames over the unmatched remainder only
-    out = P.grok(out, AUTH_PAM_PATTERNS, field="message_out",
-                 target_prefix="_pam",
-                 pattern_definitions=AUTH_PAM_DEFINITIONS,
-                 flag_failures=False)
     q = F.col("_pam")
     byuser, foruser = q["_temp_byuser"], q["_temp_foruser"]
     puser, byuid = q["_temp_user"], q["_temp_byuid"]

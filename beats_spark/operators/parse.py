@@ -190,6 +190,101 @@ def grok(
     return out.drop("_grok_failed")
 
 
+def grok_chain(
+    df: DataFrame,
+    stages: list[dict],
+    field: str = "message",
+) -> DataFrame:
+    """Dependent grok banks fused into ONE Arrow exchange.
+
+    Chained ``grok()`` calls each cost a full JVM↔Python round trip of the
+    frame even though a later bank only reads a single capture of an
+    earlier one (ingest-pipeline cascades like system/auth's header →
+    message → PAM chain, mysql/postgresql/nats two-level splits). Here the
+    whole cascade runs inside one pandas UDF: the text column crosses the
+    Arrow boundary once, intermediate captures never leave Python, and one
+    flat struct comes back (per-stage structs are rebuilt by a codegen'd
+    Project, so downstream column logic is unchanged).
+
+    Each stage dict:
+      - ``patterns`` / ``pattern_definitions``: as ``grok()``.
+      - ``target``: name of the struct column this stage produces; NULL on
+        rows the bank did not match (same contract as ``grok()``).
+      - ``input``: ``None`` (default) = the chain's ``field``; or a
+        ``(stage_target, capture_key)`` tuple reading an earlier stage's
+        capture (NaN where that stage was unmatched, so the bank skips it).
+      - ``only_if_unmatched``: optional earlier stage target — evaluate
+        this stage only on rows that stage left unmatched (the files.yml
+        on_failure-continue shape).
+      - ``flag_failures``: default True for the first stage, False after
+        (later banks are enrichment attempts, not parse failures).
+    """
+    banks = [
+        GrokBank(
+            [st["patterns"]] if isinstance(st["patterns"], str)
+            else list(st["patterns"]),
+            st.get("pattern_definitions"),
+        )
+        for st in stages
+    ]
+    idx_of = {st["target"]: i for i, st in enumerate(stages)}
+    # capture refs accept the original grok name (`_temp.message`) or its
+    # struct-safe spelling (`_temp_message`)
+    unsafe = [{_safe(k): k for k in b.output_keys} for b in banks]
+    flat_fields: list[T.StructField] = []
+    for i, bank in enumerate(banks):
+        flat_fields += [
+            T.StructField(f"f{i}_{_safe(k)}", _SPARK_TYPES[bank.key_types[k]], True)
+            for k in bank.output_keys
+        ]
+        flat_fields.append(T.StructField(f"m{i}", T.BooleanType(), False))
+    schema = T.StructType(flat_fields)
+    specs = [
+        (st.get("input"), st.get("only_if_unmatched"))
+        for st in stages
+    ]
+
+    @F.pandas_udf(schema)
+    def run(s):
+        frames: list[pd.DataFrame] = []
+        out = {}
+        for i, bank in enumerate(banks):
+            inp_spec, gate = specs[i]
+            if inp_spec is None:
+                inp = s
+            else:
+                src, key = inp_spec
+                j = idx_of[src]
+                inp = frames[j][key if key in frames[j].columns
+                                else unsafe[j][key]]
+            if gate is not None:
+                inp = inp.where(~frames[idx_of[gate]]["_grok_matched"])
+            fr = bank.grok_frame(inp)
+            frames.append(fr)
+            for k in bank.output_keys:
+                out[f"f{i}_{_safe(k)}"] = fr[k]
+            out[f"m{i}"] = fr["_grok_matched"]
+        return pd.DataFrame(out)
+
+    tmp = "_grok_chain"
+    out = df.withColumn(tmp, run(F.col(field)))
+    for i, (st, bank) in enumerate(zip(stages, banks)):
+        struct_expr = F.struct(*[
+            F.col(f"{tmp}.f{i}_{_safe(k)}").alias(_safe(k))
+            for k in bank.output_keys
+        ])
+        out = out.withColumn(
+            st["target"], F.when(F.col(f"{tmp}.m{i}"), struct_expr)
+        )
+        if st.get("flag_failures", i == 0):
+            failed = ~F.coalesce(F.col(f"{tmp}.m{i}"), F.lit(False))
+            out = add_flag(out, failed, GROK_FAIL_FLAG)
+            out = set_error(
+                out, failed, f"grok: no pattern in bank matched {field}"
+            )
+    return out.drop(tmp)
+
+
 # -- decoders (all built-in expressions) ---------------------------------------
 
 

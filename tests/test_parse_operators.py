@@ -187,3 +187,45 @@ def test_kv_via_compiler(spark):
     df = spark.createDataFrame([(1, "x=1 y=2")], "id long, s string")
     row = prog(df).collect()[0]
     assert row["kvmap"] == {"x": "1", "y": "2"}
+
+
+def test_grok_chain_matches_chained_grok(spark):
+    """grok_chain (one Arrow exchange) must be row-for-row identical to the
+    equivalent sequence of grok() calls — including unmatched rows, null
+    inputs, the only_if_unmatched gate, and failure flags."""
+    rows = [
+        ("2024-01-02T03:04:05 host sshd[42]: Accepted password for alice",),
+        ("2024-01-02T03:04:05 host sshd[43]: garbled inner payload",),
+        ("completely unparseable line",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["message"])
+    header = (r"%{TIMESTAMP_ISO8601:ts} %{NOTSPACE:host} "
+              r"%{NOTSPACE:proc}\[%{INT:pid:int}\]: %{GREEDYDATA:rest}")
+    inner = r"Accepted %{WORD:method} for %{USER:user}"
+    fallback = r"garbled %{WORD:kind} %{GREEDYDATA:tail}"
+
+    chained = P.grok(df, header, field="message", target_prefix="h")
+    chained = chained.withColumn("_rest0", F.col("h")["rest"])
+    chained = P.grok(chained, inner, field="_rest0",
+                     target_prefix="m", flag_failures=False)
+    chained = chained.withColumn(
+        "_rem", F.when(F.col("m").isNull(), F.col("_rest0")))
+    chained = P.grok(chained, fallback, field="_rem",
+                     target_prefix="p", flag_failures=False)
+
+    fused = P.grok_chain(df, [
+        {"patterns": header, "target": "h"},
+        {"patterns": inner, "target": "m", "input": ("h", "rest")},
+        {"patterns": fallback, "target": "p", "input": ("h", "rest"),
+         "only_if_unmatched": "m"},
+    ], field="message")
+
+    cols = ["message", "h.ts", "h.host", "h.proc", "h.pid", "h.rest",
+            "m.method", "m.user", "p.kind", "p.tail", "flags", "error"]
+    a = [tuple(r) for r in chained.select(*cols).collect()]
+    b = [tuple(r) for r in fused.select(*cols).collect()]
+    assert a == b
+    # flags: exactly the two non-header rows carry the grok failure flag
+    flagged = fused.filter(F.array_contains("flags", P.GROK_FAIL_FLAG)).count()
+    assert flagged == 2
