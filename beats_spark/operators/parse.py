@@ -227,6 +227,14 @@ def grok_chain(
         )
         for st in stages
     ]
+    for st, b in zip(stages, banks):
+        if not b.output_keys:
+            # a capture-less stage would rebuild as an empty struct (an
+            # analysis error); it also can't feed a later stage's input
+            raise ValueError(
+                f"grok_chain stage {st['target']!r} captures nothing — "
+                "use grok() for match-flag-only banks"
+            )
     idx_of = {st["target"]: i for i, st in enumerate(stages)}
     # capture refs accept the original grok name (`_temp.message`) or its
     # struct-safe spelling (`_temp_message`)

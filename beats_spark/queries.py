@@ -3558,6 +3558,36 @@ def q_cohort_retention(spark, sf_dir):
 # BASELINE.md section reports over the COMPLETE registry.
 # --------------------------------------------------------------------------
 
+@register(
+    "dsir_select",
+    "WITH "
+    + SM.dsir_weights_sql("lang = 'en'")
+    + """
+SELECT d.doc_id, w.dsir_weight, d.lang
+FROM dsir w JOIN documents d USING (doc_id)
+ORDER BY w.dsir_weight DESC, d.doc_id
+LIMIT 200
+""",
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): rank the
+    pool by hashed-bigram importance weight against the English slice as
+    the target distribution, keep the top 200. Weights are integer-exact
+    cross-engine (md5-bucketed bigrams, ×1e6-quantized log-ratios — see
+    beats_spark.sampling), so the DuckDB oracle is an equality check, not
+    a statistical bound. Plan: one explode of bare (id, bucket) ints, two
+    4096-row aggregates, a broadcast ratio join, and TakeOrderedAndProject
+    for the top-k — text never shuffles, nothing sorts globally."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = SM.dsir_weights(docs, F.col("lang") == "en")
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(200)
+        .select("doc_id", "dsir_weight", "lang")
+    )
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -3595,7 +3625,12 @@ _DRIVER_WINDOW = [
     "conv_pattern",
     "latency_quantiles",
     "cohort_retention",
+    # new in round 4 (late): DSIR importance selection
+    "dsir_select",
     # long-green flagship slice filling the window to exactly 50
+    # (ann_cosine_topk rotated out for dsir_select: three rounds of green
+    # history, and the exact brute-force path still runs inside the
+    # ann_lsh_recall / ann_ivf_recall oracles above)
     "grok_parse",
     "sink_aggregates",
     "conv_rollups",
@@ -3612,7 +3647,6 @@ _DRIVER_WINDOW = [
     "minhash_dedup",
     "minhash_dedup_cc",
     "ngram_jaccard_pairs",
-    "ann_cosine_topk",
 ]
 
 

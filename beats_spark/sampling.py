@@ -116,3 +116,177 @@ def stratified_sample_sql(
         for s, r in sorted(rates.items())
     )
     return f"CASE {whens} ELSE {rule(default_rate)} END"
+
+
+# -- DSIR: Data Selection via Importance Resampling ---------------------------
+#
+# Xie et al. 2023 (arXiv:2302.03169, NeurIPS): select pretraining documents
+# whose hashed-ngram feature distribution looks like a small TARGET corpus.
+# Per document, importance log-weight = Σ_features count · (log p_target(f)
+# − log p_raw(f)). At web scale this is the standard "make CommonCrawl look
+# like Wikipedia" curation step.
+#
+# Engine shape (all map-only + two tiny aggregates):
+#   1. explode docs into (id, bucket) hashed-bigram pairs — bare longs, the
+#      text never leaves its scan partition;
+#   2. bucket distributions for target and pool: groupBy(bucket).count() —
+#      map-side combine collapses to ≤ num_buckets rows per task, the
+#      shuffle carries at most num_buckets × tasks tiny rows;
+#   3. a num_buckets-row log-ratio table, broadcast back onto the pairs;
+#   4. per-doc Σ count·ratio — explode preserves row locality, so partial
+#      aggregation collapses each doc map-side before the id shuffle.
+#
+# Cross-engine exactness: buckets come from the first 3 hex chars of
+# md5(bigram) (identical text in both engines), and the log-ratio is
+# QUANTIZED to an integer (round(1e6·Δlog)) in both engines — per-doc
+# weights are then exact integer sums, immune to float summation order.
+
+_DSIR_BUCKETS = 4096  # 3 md5 hex chars
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_pairs(df: DataFrame, is_target: Column,
+                text_col: str, id_col: str) -> DataFrame:
+    """(id, is-target, bucket) hashed-bigram pairs; whitespace tokens,
+    lowercased. One explode serves both the distribution aggregates and
+    the per-doc weight sum."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    buckets = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.expr(
+            # arrays are 0-based in SQL subscripts; the size>=2 guard above
+            # keeps sequence() ascending
+            f"transform(sequence(1, size(_toks) - 1), i -> "
+            f"CAST(conv(substr(md5(concat(_toks[i-1], ' ', _toks[i])), 1, 3),"
+            f" 16, 10) AS INT))"
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("_id"), is_target.alias("_t"),
+                  toks.alias("_toks"))
+        .select("_id", "_t", F.explode(buckets).alias("_b"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact DSIR importance log-weights (scaled ×1e6).
+
+    `is_target` marks the rows whose bigram distribution defines the
+    target; the WHOLE frame is the raw pool being selected from. Returns
+    (id_col, dsir_weight: bigint) for every input row — docs with fewer
+    than two tokens weigh 0. Laplace-smoothed (+1 per bucket), so buckets
+    unseen in the target are penalties, not -inf.
+    """
+    pairs = _dsir_pairs(df, is_target, text_col, id_col)
+    dist = pairs.groupBy("_b").agg(
+        F.count("*").alias("_rc"),
+        F.count(F.when(F.col("_t"), 1)).alias("_tc"),
+    )
+    totals = dist.agg(
+        F.sum("_rc").alias("R"), F.sum("_tc").alias("T")
+    )
+    B = float(_DSIR_BUCKETS)
+    ratio = dist.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            F.lit(_DSIR_SCALE)
+            * (
+                F.log(F.col("_tc") + 1) - F.log(F.col("T") + B)
+                - F.log(F.col("_rc") + 1) + F.log(F.col("R") + B)
+            )
+        ).cast("long").alias("_lr"),
+    )
+    per_doc = (
+        pairs.join(F.broadcast(ratio), "_b")
+        .groupBy("_id")
+        .agg(F.sum("_lr").alias("dsir_weight"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("dsir_weight", F.lit(0)).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    target_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE chain computing the identical integer weights, ending in
+    a relation `dsir(doc_id, dsir_weight)` (compose with `WITH ... SELECT`)."""
+    B = _DSIR_BUCKETS
+    S = _DSIR_SCALE
+    return f"""
+toks AS (
+  SELECT {id_col} AS _id, ({target_pred}) AS _t,
+         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS t
+  FROM {table}
+),
+pairs AS (
+  SELECT _id, _t,
+         ('0x' || substr(md5(t[g.i] || ' ' || t[g.i + 1]), 1, 3))::BIGINT AS _b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+dist AS (
+  SELECT _b, count(*) AS _rc,
+         count(*) FILTER (WHERE _t) AS _tc
+  FROM pairs GROUP BY 1
+),
+tot AS (SELECT sum(_rc) AS R, sum(_tc) AS T FROM dist),
+ratio AS (
+  SELECT _b, CAST(round({S} * (ln(_tc + 1) - ln(T + {B})
+                               - ln(_rc + 1) + ln(R + {B}))) AS BIGINT) AS _lr
+  FROM dist, tot
+),
+dsir AS (
+  SELECT t.{id_col} AS {id_col},
+         coalesce(w.dsir_weight, 0) AS dsir_weight
+  FROM (SELECT {id_col} FROM {table}) t
+  LEFT JOIN (
+    SELECT p._id, CAST(sum(r._lr) AS BIGINT) AS dsir_weight
+    FROM pairs p JOIN ratio r USING (_b) GROUP BY 1
+  ) w ON t.{id_col} = w._id
+)
+""".strip()
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR's sampling-without-replacement step: top-k by
+    log-weight + Gumbel noise (Gumbel-max trick). Noise comes from the
+    md5 hash of (id:salt) — deterministic under repartitioning and reruns,
+    like every other sampling decision in this module. temperature scales
+    the noise relative to the (×1e6-scaled) weights; 0 disables it (pure
+    argmax — the exact mode the correctness oracle checks)."""
+    u = (
+        F.conv(_decision_hex(id_col, salt), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_HEX_SPACE))
+    gumbel = -F.log(-F.log(u))
+    score = F.col("dsir_weight").cast("double") + (
+        F.lit(temperature * _DSIR_SCALE) * gumbel if temperature else F.lit(0.0)
+    )
+    # orderBy + limit → TakeOrderedAndProject: per-partition bounded heaps
+    # merged on the driver, never a global sort
+    return (
+        weights.withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_score")
+    )

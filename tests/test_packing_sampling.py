@@ -230,3 +230,73 @@ def test_pack_sequences_string_ids(spark):
     out = P.pack_sequences(df, capacity=64).collect()
     assert {r.doc_id for r in out} == {"d1", "d2", "d3", "d4"}
     assert all(isinstance(r.doc_id, str) and r.seq_id for r in out)
+
+
+# -- DSIR importance selection -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_dsir_weights_enrich_the_target_language(spark, dsir_docs):
+    """Docs from the target slice (en) must weigh higher on average — the
+    whole point of importance reweighting."""
+    w = S.dsir_weights(dsir_docs, F.col("lang") == "en")
+    avg = (
+        w.join(dsir_docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("dsir_weight").alias("a"))
+        .collect()
+    )
+    by = {r[0]: r["a"] for r in avg}
+    assert by[True] > by[False]
+
+
+def test_dsir_weights_partitioning_independent(spark, dsir_docs):
+    w1 = S.dsir_weights(dsir_docs, F.col("lang") == "en").collect()
+    w2 = S.dsir_weights(
+        dsir_docs.repartition(17), F.col("lang") == "en"
+    ).collect()
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))
+
+
+def test_dsir_short_docs_weigh_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, None), (4, "two tokens")],
+        ["doc_id", "text"],
+    )
+    w = {r["doc_id"]: r["dsir_weight"]
+         for r in S.dsir_weights(df, F.lit(False)).collect()}
+    assert w[1] == 0 and w[2] == 0 and w[3] == 0
+    assert w[4] != 0  # one bigram → one nonzero ratio
+
+
+def test_dsir_gumbel_topk_deterministic_and_exact_mode(spark, dsir_docs):
+    w = S.dsir_weights(dsir_docs, F.col("lang") == "en")
+    # temperature=0 is pure argmax: exactly the highest-weight ids
+    exact = [r["doc_id"] for r in S.gumbel_topk(w, 20, temperature=0.0).collect()]
+    ref = [r["doc_id"] for r in
+           w.orderBy(F.col("dsir_weight").desc(), "doc_id").limit(20).collect()]
+    assert exact == ref
+    # gumbel mode: deterministic under repartitioning, different salts differ
+    a = {r["doc_id"] for r in S.gumbel_topk(w, 20, salt="g1").collect()}
+    b = {r["doc_id"] for r in
+         S.gumbel_topk(w.repartition(7), 20, salt="g1").collect()}
+    c = {r["doc_id"] for r in S.gumbel_topk(w, 20, salt="g2").collect()}
+    assert a == b
+    assert a != c
+
+
+def test_dsir_plan_is_scale_shaped(spark, dsir_docs):
+    """No Python UDF anywhere; top-k is TakeOrderedAndProject (bounded
+    per-partition heaps), never a global Sort; the exploded exchange
+    carries bare ids/buckets, not text."""
+    w = S.dsir_weights(dsir_docs, F.col("lang") == "en")
+    plan = S.gumbel_topk(w, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
