@@ -1385,6 +1385,50 @@ def q_ann_ivf_recall(spark, sf_dir):
     return SIM.recall_vs_exact(approx, exact, k=5)
 
 
+@register(
+    "semdedup",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cell_id, e AS cv
+          FROM v WHERE vec_id >= 200 AND vec_id < 208),
+assign AS (
+  SELECT vec_id, e, cell_id FROM (
+    SELECT v.vec_id, v.e, c.cell_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, c.cv)
+                      / (sqrt(list_dot_product(v.e, v.e))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cell_id) AS rn
+    FROM v CROSS JOIN cents c)
+  WHERE rn = 1),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.4)
+SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+""",
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings to the explicit
+    id-range centroid slice, drop all-but-the-lowest-id of every
+    within-cell pair above the cosine threshold. The oracle recomputes
+    assignment, the within-cell pair scan, and the survivor flags row by
+    row — a full equality check of the semantic-dedup decision, not a
+    statistical bound. Threshold 0.4 sits at this synthetic table's
+    observed cosine tail (max pairwise 0.51, no planted near-identical
+    vectors); the operator default is the paper-typical 0.95. Plan:
+    broadcast centroids, max_by assignment (no window sort), cell-keyed
+    equi-join + codegen cosine residual, bare-id drop set."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = embs.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    return SIM.semdedup(embs, threshold=0.4, centroids=cents)
+
+
 # --------------------------------------------------------------------------
 # §2.10 Spark-native analytics over transcripts (sort/top-k, grouping sets,
 # window functions, self-join) — free from the engine, exposed as queries
@@ -3625,19 +3669,21 @@ _DRIVER_WINDOW = [
     "conv_pattern",
     "latency_quantiles",
     "cohort_retention",
-    # new in round 4 (late): DSIR importance selection
+    # new in round 4 (late): DSIR importance selection + SemDeDup
     "dsir_select",
+    "semdedup",
     # long-green flagship slice filling the window to exactly 50
-    # (ann_cosine_topk rotated out for dsir_select: three rounds of green
-    # history, and the exact brute-force path still runs inside the
-    # ann_lsh_recall / ann_ivf_recall oracles above)
+    # (ann_cosine_topk rotated out for dsir_select, timestamp_parse for
+    # semdedup: both have three rounds of green history; the exact
+    # brute-force ANN path still runs inside the ann_lsh_recall /
+    # ann_ivf_recall oracles above, and timestamp parsing is exercised by
+    # the transcripts flagship + pytest golden layouts)
     "grok_parse",
     "sink_aggregates",
     "conv_rollups",
     "dissect_parse",
     "condition_filter",
     "enrich_translate",
-    "timestamp_parse",
     "sessionize",
     "dedup_exact",
     "doc_fingerprint",

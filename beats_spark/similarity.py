@@ -332,6 +332,77 @@ def lsh_topk_data_planes(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    then drop all-but-one of every within-cluster pair whose cosine clears
+    `threshold` — the standard semantic-dedup step between exact/minhash
+    dedup and training. Keep rule is deterministic: a row is dropped iff a
+    LOWER-id row in the same cell sits within `threshold` of it, so the
+    survivor set is unique regardless of partitioning or join order.
+
+    Returns every input row as (id_col, cell_id, kept: boolean).
+
+    Scale shape: centroids are broadcast (n_cells rows — explicit frame or
+    the same deterministic xxhash64 sample ivf_topk uses); assignment is
+    the max_by aggregate (one exchange of (id, vec, cell), no window sort);
+    the pair generation is a CELL-keyed equi-join with a codegen cosine
+    residual — never an unblocked cross join — and the drop set travels as
+    bare ids for the final anti-join-shaped flag. The within-cell pair
+    count is quadratic in cell size BY SEMANTICS (SemDeDup compares all
+    pairs inside a cluster): at 100 TB you size n_cells so cells fit the
+    comparison budget, exactly as the paper sizes k for its k-means; for
+    very fat cells swap the residual join for the blocked-GEMM kernel
+    (allpairs_cosine_stats) per cell — same contract, BLAS inner loop.
+    """
+    v = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vvec"))
+    if centroids is not None:
+        cents = centroids.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec")
+        )
+    else:
+        cents = (
+            vectors.select(
+                F.col(id_col).alias("cell_id"), F.col(vec_col).alias("_cvec")
+            )
+            .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
+            .limit(n_cells)
+        )
+    va = _assign_cells(v, cents, "_id")
+    a = va.select(
+        F.col("cell_id"), F.col("_id").alias("_ida"), F.col("_vvec").alias("_va")
+    )
+    b = va.select(
+        F.col("cell_id"), F.col("_id").alias("_idb"), F.col("_vvec").alias("_vb")
+    )
+    drops = (
+        a.join(b, "cell_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            _dot(F.col("_va"), F.col("_vb"))
+            / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+            >= threshold
+        )
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        va.join(drops, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     """One-row recall@k of `approx` against `exact` (both (query_id,
     neighbor_id[, ...]) top-k listings): n_queries, n_exact, n_hit,

@@ -418,3 +418,65 @@ def test_ivf_explicit_centroids(spark, embs):
     a = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=3, centroids=cents)
     b = S.ivf_topk(embs, q, k=5, n_cells=8, n_probe=3, centroids=cents)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# -- SemDeDup ------------------------------------------------------------------
+
+
+def test_semdedup_drops_planted_twin(spark):
+    """Two identical vectors in the same cell: the higher id is dropped;
+    everything below threshold survives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),     # exact twin of 0 → dropped
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.99, 0.1, 0.0]),    # near 0 → dropped at 0.9
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id").isin(0, 2, 4))
+    out = {r["vec_id"]: r["kept"]
+           for r in S.semdedup(df, threshold=0.9, centroids=cents).collect()}
+    assert out == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_semdedup_cross_cell_pairs_never_compared(spark):
+    """Identical vectors assigned to different cells are both kept —
+    SemDeDup only compares within a cluster (the paper's semantics and
+    the property that makes it scale)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (10, [1.0, 0.3]),    # nearest cell 0, cos(0,10) ≈ 0.958 < 0.99
+        (11, [0.3, 1.0]),    # nearest cell 1, far from 10
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = df.filter(F.col("vec_id") < 2)
+    out = S.semdedup(df, threshold=0.99, centroids=cents)
+    cells = {r["vec_id"]: (r["cell_id"], r["kept"]) for r in out.collect()}
+    assert cells[10][0] == 0 and cells[11][0] == 1
+    assert all(kept for _, kept in cells.values())
+
+
+def test_semdedup_partitioning_independent(spark, embs):
+    cents = embs.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    a = S.semdedup(embs, threshold=0.4, centroids=cents).collect()
+    b = S.semdedup(
+        embs.repartition(13), threshold=0.4, centroids=cents
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_semdedup_plan_is_scale_shaped(spark, embs):
+    """Centroids broadcast; the pair scan is a cell-keyed equi-join (never
+    an unblocked cross join); no Python UDF anywhere."""
+    cents = embs.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    plan = (
+        S.semdedup(embs, threshold=0.4, centroids=cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) == plan.count("BroadcastNestedLoopJoin Build")  # only broadcast forms
