@@ -919,6 +919,23 @@ def q_lang_id(spark, sf_dir):
     return X.lang_id(docs).groupBy("pred_lang", "lang").agg(F.count("*").alias("n"))
 
 
+_BM25_TERMS = ["dup", "spark", "vector"]
+
+
+@register("bm25_search", X.bm25_topk_sql(_BM25_TERMS, k=25))
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-25 for a 3-term query (one rare planted marker +
+    two common tokens) — the keyword-relevance retrieval step of a
+    curation stack. Scores are ×1e6-quantized integers (same convention
+    as dsir_select), so the DuckDB oracle is an exact equality on the
+    full ranking. Plan: tokens filtered to the query terms inside the
+    scan task (only matching docs shuffle, as bare (id, term, tf)
+    triples), term-df and the 1-row (N, avgdl) stats broadcast back,
+    top-k via TakeOrderedAndProject."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.bm25_topk(docs, _BM25_TERMS, k=25)
+
+
 @register("doc_fingerprint", X.doc_fingerprint_oracle())
 def q_doc_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3669,15 +3686,17 @@ _DRIVER_WINDOW = [
     "conv_pattern",
     "latency_quantiles",
     "cohort_retention",
-    # new in round 4 (late): DSIR importance selection + SemDeDup
+    # new in round 4 (late): DSIR importance selection + SemDeDup + BM25
     "dsir_select",
     "semdedup",
+    "bm25_search",
     # long-green flagship slice filling the window to exactly 50
     # (ann_cosine_topk rotated out for dsir_select, timestamp_parse for
-    # semdedup: both have three rounds of green history; the exact
-    # brute-force ANN path still runs inside the ann_lsh_recall /
-    # ann_ivf_recall oracles above, and timestamp parsing is exercised by
-    # the transcripts flagship + pytest golden layouts)
+    # semdedup, dedup_exact for bm25_search: all three have three rounds
+    # of green history; the exact brute-force ANN path still runs inside
+    # the ann_lsh_recall / ann_ivf_recall oracles above, timestamp parsing
+    # is exercised by the transcripts flagship + pytest golden layouts,
+    # and exact dedup by the curation_funnel stage counts)
     "grok_parse",
     "sink_aggregates",
     "conv_rollups",
@@ -3685,7 +3704,6 @@ _DRIVER_WINDOW = [
     "condition_filter",
     "enrich_translate",
     "sessionize",
-    "dedup_exact",
     "doc_fingerprint",
     "embedding_dedup",
     "prefix_jaccard_pairs",

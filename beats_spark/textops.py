@@ -554,3 +554,136 @@ def normalize_unicode_sql(text_col: str = "text") -> str:
         f"nfc_normalize(regexp_replace({text_col},"
         f" '{CONTROL_CHARS_RE}', '', 'g'))"
     )
+
+
+# -- BM25 ranked retrieval -----------------------------------------------------
+#
+# Okapi BM25 over the corpus for a broadcast-small query term set — the
+# keyword-search / relevance-scoring step of a curation stack (e.g. "pull
+# the docs most relevant to a target topic"). Engine shape:
+#
+#   1. per-doc token array (map-only); doc length = size(toks);
+#   2. tokens are filtered to the QUERY TERMS inside the scan task
+#      (array_intersect-style lambda) BEFORE any exchange — only docs
+#      containing at least one query term ever shuffle, and they shuffle
+#      as bare (doc_id, term, tf) triples;
+#   3. df per term (≤ |terms| rows) and the 1-row (N, avgdl) aggregate
+#      are broadcast back;
+#   4. per-(doc, term) BM25 contribution, QUANTIZED to an integer
+#      (round(1e6·x), same convention as sampling.dsir_weights) so the
+#      per-doc sum is exact in any engine and any summation order;
+#   5. top-k by TakeOrderedAndProject — bounded per-partition heaps,
+#      never a global sort.
+
+_BM25_SCALE = 1_000_000
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k: (id_col, bm25_score: bigint ×1e6-scaled, n_terms_hit).
+
+    idf is the standard Robertson–Spärck Jones form with +1 inside the
+    log (always positive): ln(1 + (N - df + 0.5)/(df + 0.5)). Ties break
+    on ascending id. `terms` are matched against lowercased
+    whitespace tokens (the module-wide tokenizer)."""
+    terms = sorted({t.lower() for t in terms})
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_dl"),
+        F.filter(
+            toks, lambda t: t.isin(*terms) if len(terms) > 1
+            else t == F.lit(terms[0])
+        ).alias("_hits"),
+    )
+    tf = (
+        base.select("_id", "_dl", F.explode("_hits").alias("_term"))
+        .groupBy("_id", "_dl", "_term")
+        .agg(F.count("*").alias("_tf"))
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_c",
+            F.round(
+                F.lit(_BM25_SCALE)
+                * F.col("_idf")
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy("_id").agg(
+        F.sum("_c").alias("bm25_score"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    return (
+        scored.orderBy(F.col("bm25_score").desc(), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "bm25_score", "n_terms_hit")
+    )
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin computing identical integer scores."""
+    terms = sorted({t.lower() for t in terms})
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    S = _BM25_SCALE
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id,
+         len(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS _dl,
+         list_filter(regexp_split_to_array(trim(lower({text_col})), '\\s+'),
+                     t -> t IN ({tlist})) AS _hits
+  FROM {table}
+),
+tf AS (
+  SELECT _id, _dl, u.t AS _term, count(*) AS _tf
+  FROM base, unnest(_hits) AS u(t)
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT count(*) AS _n, avg(_dl) AS _avgdl FROM base),
+dfreq AS (SELECT _term, count(*) AS _df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf._id,
+         CAST(round({S} * ln(1 + (s._n - d._df + 0.5) / (d._df + 0.5))
+               * (tf._tf * ({k1} + 1))
+               / (tf._tf + {k1} * (1 - {b} + {b} * tf._dl / s._avgdl)))
+              AS BIGINT) AS _c
+  FROM tf JOIN dfreq d USING (_term) CROSS JOIN stats s
+)
+SELECT _id AS {id_col}, CAST(sum(_c) AS BIGINT) AS bm25_score,
+       count(*) AS n_terms_hit
+FROM contrib GROUP BY 1
+ORDER BY bm25_score DESC, {id_col} LIMIT {k}
+""".strip()

@@ -480,3 +480,51 @@ def test_semdedup_plan_is_scale_shaped(spark, embs):
     assert "BroadcastNestedLoopJoin" not in plan or plan.count(
         "BroadcastNestedLoopJoin"
     ) == plan.count("BroadcastNestedLoopJoin Build")  # only broadcast forms
+
+
+# -- BM25 ----------------------------------------------------------------------
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc hitting the rare term must outscore a doc hitting only the
+    ubiquitous term (higher idf), and tf raises the score within a term."""
+    rows = [
+        (1, "common common common"),
+        (2, "rare common"),
+        (3, "rare rare common"),
+        (4, "common filler words"),
+        (5, "filler filler filler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = X.bm25_topk(df, ["rare", "common"], k=5)
+    got = {r["doc_id"]: r["bm25_score"] for r in out.collect()}
+    assert got[3] > got[2] > got[1]          # tf ordering on the rare term
+    assert got[2] > got[1] > got[4] >= 0     # rare beats common-only
+    assert 5 not in got                      # no query term → no row
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, longer doc → lower score (the b·dl/avgdl penalty)."""
+    rows = [
+        (1, "hit pad"),
+        (2, "hit " + "pad " * 40),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25_score"]
+           for r in X.bm25_topk(df, ["hit"], k=5).collect()}
+    assert got[1] > got[2] > 0
+
+
+def test_bm25_partitioning_independent_and_scale_shaped(spark, docs):
+    a = X.bm25_topk(docs, ["dup", "spark", "vector"], k=25)
+    b = X.bm25_topk(
+        docs.repartition(11), ["dup", "spark", "vector"], k=25
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the exploded exchange carries bare (id, dl, term) rows — never text
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
