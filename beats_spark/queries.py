@@ -2735,6 +2735,27 @@ def q_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "stratified_topn",
+    "SELECT doc_id, source FROM ("
+    + SM.stratified_topn_sql(10, salt="quota-v1")
+    + ") q",
+)
+def q_stratified_topn(spark, sf_dir):
+    """Exact-count quota sampling: precisely 10 docs per source stratum,
+    picked as the 10 smallest md5(id:salt) prefixes — uniform, stable
+    under repartitioning AND under corpus growth. The oracle reselects
+    the identical rows in DuckDB, so this is a row-set equality on the
+    actual sample, not a count check. One exchange on source; per-group
+    top-N window, no global sort."""
+    from beats_spark import sampling as SM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SM.stratified_topn(docs, 10, salt="quota-v1").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "pack_sequences",
     PK.packing_oracle_sql(
         "SELECT doc_id, " + X.token_count_sql("text")
@@ -3686,24 +3707,24 @@ _DRIVER_WINDOW = [
     "conv_pattern",
     "latency_quantiles",
     "cohort_retention",
-    # new in round 4 (late): DSIR importance selection + SemDeDup + BM25
+    # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota sampling
     "dsir_select",
     "semdedup",
     "bm25_search",
-    # long-green flagship slice filling the window to exactly 50
-    # (ann_cosine_topk rotated out for dsir_select, timestamp_parse for
-    # semdedup, dedup_exact for bm25_search: all three have three rounds
-    # of green history; the exact brute-force ANN path still runs inside
-    # the ann_lsh_recall / ann_ivf_recall oracles above, timestamp parsing
-    # is exercised by the transcripts flagship + pytest golden layouts,
-    # and exact dedup by the curation_funnel stage counts)
+    "stratified_topn",
+    # long-green flagship slice filling the window to exactly 50.
+    # Rotated out for the four entries above — each with three rounds of
+    # green history and its semantics still driver-covered elsewhere:
+    # ann_cosine_topk (exact path runs inside ann_lsh_recall /
+    # ann_ivf_recall), timestamp_parse (transcripts flagship + pytest
+    # golden layouts), dedup_exact (curation_funnel stage counts),
+    # sessionize (flows_window sessionization twin stays in-window).
     "grok_parse",
     "sink_aggregates",
     "conv_rollups",
     "dissect_parse",
     "condition_filter",
     "enrich_translate",
-    "sessionize",
     "doc_fingerprint",
     "embedding_dedup",
     "prefix_jaccard_pairs",

@@ -96,6 +96,58 @@ def stratified_sample(
     return df.withColumn(target, pred)
 
 
+def stratified_topn(
+    df: DataFrame,
+    n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-count per-stratum sample: keep precisely min(n, |stratum|)
+    rows from each stratum — "take exactly 10k docs per source", the
+    quota-based twin of rate-based stratified_sample. The pick is the n
+    smallest md5(id:salt) prefixes per stratum, so it is uniform,
+    reproducible under repartitioning/retries, and STABLE UNDER CORPUS
+    GROWTH in the same sense as the rate samplers: a kept doc is only ever
+    displaced by a new doc hashing below it, never reshuffled at random.
+
+    Scale: one exchange on strata_col; the window's per-partition sort is
+    the standard per-group top-N plan (rank ≤ n lets AQE and the sort
+    short-circuit spill to disk safely — no global sort, no driver state).
+    Skewed strata sort within their own partitions only; for pathological
+    single-stratum corpora use deterministic_sample with rate ≈ n/|N|
+    first, then exact-trim the small survivor set with this."""
+    from pyspark.sql import Window as W
+
+    hexv = _decision_hex(id_col, salt)
+    w = W.partitionBy(strata_col).orderBy(
+        hexv.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def stratified_topn_sql(
+    n: int,
+    table: str = "documents",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """DuckDB twin selecting the identical per-stratum rows."""
+    hexv = _decision_hex_sql(id_col, salt)
+    return f"""
+SELECT * EXCLUDE (_rn) FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {strata_col} ORDER BY {hexv}, {id_col}) AS _rn
+  FROM {table})
+WHERE _rn <= {n}
+""".strip()
+
+
 def stratified_sample_sql(
     rates: dict[str, float],
     strata_col: str = "source",

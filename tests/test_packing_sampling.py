@@ -300,3 +300,42 @@ def test_dsir_plan_is_scale_shaped(spark, dsir_docs):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+# -- exact-count quota sampling --------------------------------------------
+
+
+def test_stratified_topn_exact_counts_and_stability(spark, dsir_docs):
+    out = S.stratified_topn(dsir_docs, 7, salt="q1")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_stratum = {r["source"]: r["n"] for r in
+                   dsir_docs.groupBy("source")
+                   .agg(F.count("*").alias("n")).collect()}
+    assert counts == {s: min(7, n) for s, n in per_stratum.items()}
+    # identical pick under repartitioning
+    again = S.stratified_topn(dsir_docs.repartition(9), 7, salt="q1")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # different salt → different (independent) pick
+    other = S.stratified_topn(dsir_docs, 7, salt="q2")
+    assert {r["doc_id"] for r in out.collect()} != {
+        r["doc_id"] for r in other.collect()
+    }
+
+
+def test_stratified_topn_stable_under_corpus_growth(spark):
+    """A kept doc is displaced only by a new doc hashing below it — the
+    sample of the grown corpus overlaps heavily with the original (unlike
+    df.sample, which reshuffles everything)."""
+    base = spark.createDataFrame(
+        [(i, "s") for i in range(100)], ["doc_id", "source"]
+    )
+    grown = spark.createDataFrame(
+        [(i, "s") for i in range(110)], ["doc_id", "source"]
+    )
+    a = {r["doc_id"] for r in S.stratified_topn(base, 20).collect()}
+    b = {r["doc_id"] for r in S.stratified_topn(grown, 20).collect()}
+    assert len(a & b) >= 15  # 10% growth can displace at most a few
+    assert len(a) == len(b) == 20
