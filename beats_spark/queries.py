@@ -936,6 +936,36 @@ def q_bm25_search(spark, sf_dir):
     return X.bm25_topk(docs, _BM25_TERMS, k=25)
 
 
+@register(
+    "perplexity_filter",
+    "WITH "
+    + SM.lm_nll_sql("lang = 'en'")
+    + """
+SELECT doc_id, n_bigrams, nll_per_pos_milli
+FROM lm_nll WHERE n_bigrams > 0
+ORDER BY nll_per_pos_milli, doc_id
+LIMIT 200
+""",
+)
+def q_perplexity_filter(spark, sf_dir):
+    """CCNet-style perplexity head selection (Wenzek et al. 2020): train a
+    hashed-bigram LM on the English slice IN-PLAN (two ≤4096-row count
+    aggregates — no external model), score every doc's NLL under it, keep
+    the 200 most target-like. NLL contributions are ×1e6-quantized
+    integers, so the DuckDB oracle reproduces the exact ranking. Plan:
+    one explode of bare (id, b1, b2) ints, two broadcast count tables,
+    per-doc integer sum that partial-aggregates map-side — text never
+    shuffles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = SM.lm_nll_scores(docs, F.col("lang") == "en")
+    return (
+        s.filter(F.col("n_bigrams") > 0)
+        .orderBy("nll_per_pos_milli", "doc_id")
+        .limit(200)
+        .select("doc_id", "n_bigrams", "nll_per_pos_milli")
+    )
+
+
 @register("doc_fingerprint", X.doc_fingerprint_oracle())
 def q_doc_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -3707,18 +3737,22 @@ _DRIVER_WINDOW = [
     "conv_pattern",
     "latency_quantiles",
     "cohort_retention",
-    # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota sampling
+    # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
+    # sampling, CCNet perplexity head
     "dsir_select",
     "semdedup",
     "bm25_search",
     "stratified_topn",
+    "perplexity_filter",
     # long-green flagship slice filling the window to exactly 50.
-    # Rotated out for the four entries above — each with three rounds of
+    # Rotated out for the five entries above — each with three rounds of
     # green history and its semantics still driver-covered elsewhere:
     # ann_cosine_topk (exact path runs inside ann_lsh_recall /
     # ann_ivf_recall), timestamp_parse (transcripts flagship + pytest
     # golden layouts), dedup_exact (curation_funnel stage counts),
-    # sessionize (flows_window sessionization twin stays in-window).
+    # sessionize (flows_window sessionization twin stays in-window),
+    # embedding_dedup (semdedup is the row-exact embedding near-dup
+    # check; the GEMM stats path stays pytest-green).
     "grok_parse",
     "sink_aggregates",
     "conv_rollups",
@@ -3726,7 +3760,6 @@ _DRIVER_WINDOW = [
     "condition_filter",
     "enrich_translate",
     "doc_fingerprint",
-    "embedding_dedup",
     "prefix_jaccard_pairs",
     "dedup_components",
     "minhash_dedup",

@@ -342,3 +342,147 @@ def gumbel_topk(
         .limit(k)
         .drop("_score")
     )
+
+
+# -- CCNet-style perplexity quality scoring ------------------------------------
+#
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359) ranks CommonCrawl documents by
+# the perplexity of a language model trained on a clean target corpus and
+# keeps the low-perplexity head. No external LM ships in this engine, so the
+# model IS trained in-plan: a hashed-bigram LM over the same md5-bucket
+# feature space DSIR uses, estimated from the `is_target` slice in two tiny
+# (≤4096-row) aggregates. Per position, NLL = −[ln(C2(b2)+1) − ln(C1(b1)+B)]
+# (add-one smoothing over the B-bucket space), quantized to round(1e6·x) in
+# BOTH engines — per-doc sums are exact integer arithmetic. This is a
+# hashed-feature quality SIGNAL (bucket collisions make it an approximation
+# of a true bigram LM), which is exactly how it is used: rank and trim, like
+# CCNet's head/middle/tail split.
+#
+# Plan shape = DSIR's: one explode of bare (id, b1, b2) ints, two ≤4096-row
+# target-count aggregates broadcast back, one per-doc sum that partial-
+# aggregates map-side. Text never shuffles.
+
+
+def _lm_positions(df: DataFrame, is_target: Column,
+                  text_col: str, id_col: str) -> DataFrame:
+    """(id, is-target, b1: unigram-context bucket, b2: bigram bucket) per
+    adjacent token position (whitespace tokens, lowercased)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pos = F.when(
+        F.size(F.col("_toks")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), i -> struct("
+            "CAST(conv(substr(md5(_toks[i-1]), 1, 3), 16, 10) AS INT) AS b1,"
+            "CAST(conv(substr(md5(concat(_toks[i-1], ' ', _toks[i])), 1, 3),"
+            " 16, 10) AS INT) AS b2))"
+        ),
+    ).otherwise(F.array().cast("array<struct<b1:int,b2:int>>"))
+    return (
+        df.select(F.col(id_col).alias("_id"), is_target.alias("_t"),
+                  toks.alias("_toks"))
+        .select("_id", "_t", F.explode(pos).alias("_p"))
+        .select("_id", "_t", F.col("_p.b1").alias("_b1"),
+                F.col("_p.b2").alias("_b2"))
+    )
+
+
+def lm_nll_scores(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-exact hashed-bigram NLL under the target-slice LM.
+
+    Returns (id_col, nll_sum: bigint ×1e6-scaled, n_bigrams: bigint,
+    nll_per_pos_milli: bigint) for every input row; docs with <2 tokens
+    score (0, 0, 0). Lower nll_per_pos_milli = more target-like (CCNet
+    'head'). All smoothing uses the 4096-bucket space."""
+    pos = _lm_positions(df, is_target, text_col, id_col)
+    B = float(_DSIR_BUCKETS)
+    c2 = (
+        pos.filter("_t").groupBy("_b2").agg(F.count("*").alias("_c2"))
+    )
+    c1 = (
+        pos.filter("_t").groupBy("_b1").agg(F.count("*").alias("_c1"))
+    )
+    nll = F.round(
+        F.lit(-_DSIR_SCALE)
+        * (
+            F.log(F.coalesce(F.col("_c2"), F.lit(0)) + 1)
+            - F.log(F.coalesce(F.col("_c1"), F.lit(0)) + B)
+        )
+    ).cast("long")
+    per_doc = (
+        pos.join(F.broadcast(c2), "_b2", "left")
+        .join(F.broadcast(c1), "_b1", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(nll).alias("nll_sum"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("nll_sum", F.lit(0)).alias("nll_sum"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.floor(
+                    F.col("nll_sum") / (F.col("n_bigrams") * F.lit(1000.0))
+                ).cast("long"),
+            ).otherwise(F.lit(0)).alias("nll_per_pos_milli"),
+        )
+    )
+
+
+def lm_nll_sql(
+    target_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE chain computing identical integer NLL scores, ending in
+    a relation `lm_nll(doc_id, nll_sum, n_bigrams, nll_per_pos_milli)`."""
+    B = _DSIR_BUCKETS
+    S = _DSIR_SCALE
+    return f"""
+lm_toks AS (
+  SELECT {id_col} AS _id, ({target_pred}) AS _t,
+         regexp_split_to_array(trim(lower({text_col})), '\\s+') AS t
+  FROM {table}
+),
+lm_pos AS (
+  SELECT _id, _t,
+         ('0x' || substr(md5(t[g.i]), 1, 3))::BIGINT AS _b1,
+         ('0x' || substr(md5(t[g.i] || ' ' || t[g.i + 1]), 1, 3))::BIGINT AS _b2
+  FROM lm_toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+lm_c2 AS (SELECT _b2, count(*) AS _c2 FROM lm_pos WHERE _t GROUP BY 1),
+lm_c1 AS (SELECT _b1, count(*) AS _c1 FROM lm_pos WHERE _t GROUP BY 1),
+lm_doc AS (
+  SELECT p._id,
+         CAST(sum(CAST(round(-{S} * (ln(coalesce(c2._c2, 0) + 1)
+                                     - ln(coalesce(c1._c1, 0) + {B})))
+                       AS BIGINT)) AS BIGINT) AS nll_sum,
+         count(*) AS n_bigrams
+  FROM lm_pos p
+  LEFT JOIN lm_c2 c2 USING (_b2)
+  LEFT JOIN lm_c1 c1 USING (_b1)
+  GROUP BY 1
+),
+lm_nll AS (
+  SELECT t.{id_col} AS {id_col},
+         coalesce(d.nll_sum, 0) AS nll_sum,
+         coalesce(d.n_bigrams, 0) AS n_bigrams,
+         CASE WHEN coalesce(d.n_bigrams, 0) > 0
+              THEN CAST(floor(d.nll_sum / (d.n_bigrams * 1000.0)) AS BIGINT)
+              ELSE 0 END AS nll_per_pos_milli
+  FROM (SELECT {id_col} FROM {table}) t
+  LEFT JOIN lm_doc d ON t.{id_col} = d._id
+)
+""".strip()

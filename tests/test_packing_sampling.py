@@ -339,3 +339,49 @@ def test_stratified_topn_stable_under_corpus_growth(spark):
     b = {r["doc_id"] for r in S.stratified_topn(grown, 20).collect()}
     assert len(a & b) >= 15  # 10% growth can displace at most a few
     assert len(a) == len(b) == 20
+
+
+# -- CCNet-style perplexity scoring ------------------------------------------
+
+
+def test_lm_nll_target_docs_score_lower(spark, dsir_docs):
+    """Target-slice (en) docs must have lower mean NLL under the LM
+    trained on that slice — the CCNet head property."""
+    s = S.lm_nll_scores(dsir_docs, F.col("lang") == "en")
+    avg = (
+        s.filter(F.col("n_bigrams") > 0)
+        .join(dsir_docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("nll_per_pos_milli").alias("a"))
+        .collect()
+    )
+    by = {r[0]: r["a"] for r in avg}
+    assert by[True] < by[False]
+
+
+def test_lm_nll_partitioning_independent_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, "alpha"), (3, None),
+         (4, "beta gamma")],
+        ["doc_id", "text"],
+    )
+    a = S.lm_nll_scores(df, F.lit(True)).collect()
+    b = S.lm_nll_scores(df.repartition(5), F.lit(True)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    rows = {r["doc_id"]: r for r in a}
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["nll_sum"] == 0
+    assert rows[3]["n_bigrams"] == 0
+    assert rows[1]["n_bigrams"] == 3
+    # the seen bigram is cheaper per position than the unseen-heavy doc
+    assert rows[1]["nll_per_pos_milli"] < rows[4]["nll_per_pos_milli"]
+
+
+def test_lm_nll_plan_is_scale_shaped(spark, dsir_docs):
+    plan = (
+        S.lm_nll_scores(dsir_docs, F.col("lang") == "en")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line

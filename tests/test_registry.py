@@ -46,4 +46,4 @@ def test_outside_window_only_long_green_or_rows_only():
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
     # oracle coverage of the registry overall
-    assert len(names) == 81 and len(oracles) == 78
+    assert len(names) == 82 and len(oracles) == 79
