@@ -806,3 +806,139 @@ SELECT _id AS {id_col}, len(sents) AS n_sentences,
                      x -> x IS NOT NULL), ' '), '') AS deduped
 FROM joined
 """
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """ExactSubstr dedup at token granularity (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" §4.1: remove
+    every duplicated substring of >= N tokens, keeping one occurrence).
+    span_dedup's token-level twin: any `window`-token span occurring more
+    than once corpus-wide keeps only its first occurrence (min (doc_id,
+    pos)); every other occurrence has its covered token positions removed.
+    Tokens are the module-wide whitespace tokenizer (trim+lower), so
+    duplicates that straddle sentence boundaries — invisible to the
+    sentence-window C4 pass — are caught. Emits ``n_tokens``,
+    ``n_removed`` and ``deduped`` (kept tokens re-joined with spaces).
+
+    Scale shape is identical to span_dedup (the 100 TB property is that
+    TEXT NEVER SHUFFLES): window hashes fold map-side from the token array
+    (one xxhash64 per position), the global first-occurrence resolution
+    shuffles bare (hash, id, pos) triples, removed positions aggregate to
+    one short array per AFFECTED doc and join back BY ID, and the rebuild
+    is an in-array filter. Reference analogue: the suffix-array ExactSubstr
+    tool is a separate Rust binary in the paper's repo; here the same
+    semantics ride the engine's own shuffle machinery. 64-bit window-hash
+    collisions could remove a non-duplicate span (same accepted odds as
+    span_dedup/decontaminate); the oracle dedups on the window STRINGS and
+    would surface one as a hash mismatch.
+    """
+    k = window
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.withColumn("_toks", toks).withColumn(
+        "n_tokens", F.size("_toks")
+    )
+    win_hashes = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    _SPAN_SEP,
+                    *[F.element_at(F.col("_toks"), i + off) for off in range(k)],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    occ = base.select(
+        F.col(id_col).alias("_id"), F.posexplode(win_hashes).alias("_pos0", "_h")
+    ).select("_id", (F.col("_pos0") + 1).alias("_pos"), "_h")
+
+    per_hash = occ.groupBy("_h").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct("_id", "_pos")).alias("_owner"),
+    )
+    dups = (
+        occ.join(per_hash.where(F.col("_cnt") > 1), "_h")
+        .where(
+            (F.col("_id") != F.col("_owner._id"))
+            | (F.col("_pos") != F.col("_owner._pos"))
+        )
+        .select("_id", "_pos")
+    )
+    removed = (
+        dups.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + (k - 1))
+            ).alias("_ridx"),
+        )
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_set("_ridx")).alias("_removed"))
+    )
+
+    out = base.join(
+        removed.withColumnRenamed("_id", id_col), id_col, "left"
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda s, i: ~F.coalesce(
+            F.array_contains(F.col("_removed"), i + 1), F.lit(False)
+        ),
+    )
+    return (
+        out.withColumn("n_removed", F.coalesce(F.size("_removed"), F.lit(0)))
+        .withColumn("deduped", F.array_join(kept, " "))
+        .drop("_toks", "_removed")
+    )
+
+
+def exact_substr_dedup_oracle(table: str = "documents",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window: int = 50) -> str:
+    """DuckDB twin of exact_substr_dedup, deduping on token-window STRINGS
+    (no hashing) — an independent algorithm: window row_number for
+    first-occurrence instead of min-struct aggregation."""
+    k = window
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    span = " || chr(31) || ".join(f"toks[i+{off}]" for off in range(k))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {toks} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+occ AS (
+  SELECT _id, i AS pos, {span} AS win
+  FROM base, unnest(range(1, greatest(len(toks) - {k - 1}, 0) + 1)) AS t(i)
+),
+marked AS (
+  SELECT _id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY _id, pos) AS rn,
+         count(*) OVER (PARTITION BY win) AS cnt
+  FROM occ
+),
+removed AS (
+  SELECT _id, list_sort(list_distinct(list(pos + off.o))) AS ridx
+  FROM marked, (SELECT unnest(range(0, {k})) AS o) off
+  WHERE cnt > 1 AND rn > 1
+  GROUP BY _id
+),
+joined AS (
+  SELECT b._id, b.toks, coalesce(r.ridx, []) AS ridx
+  FROM base b LEFT JOIN removed r USING (_id)
+)
+SELECT _id AS {id_col}, len(toks) AS n_tokens,
+       len(ridx) AS n_removed,
+       coalesce(array_to_string(
+         list_filter(list_transform(range(1, len(toks) + 1),
+                     i -> CASE WHEN NOT list_contains(ridx, i)
+                               THEN toks[i] END),
+                     x -> x IS NOT NULL), ' '), '') AS deduped
+FROM joined
+"""

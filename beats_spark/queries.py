@@ -3700,6 +3700,124 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+_SUBSTR_COMMON = (
+    " exact substr shared tail alpha beta gamma delta"
+    " epsilon zeta eta theta"
+)
+
+@register(
+    "substr_dedup",
+    "SELECT doc_id, n_tokens, n_removed, md5(deduped) AS dedup_md5 FROM ("
+    + D.exact_substr_dedup_oracle(
+        table=(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || '"
+            + _SUBSTR_COMMON + "' ELSE text END AS text"
+            " FROM documents WHERE doc_id < 2000) s"
+        ),
+        window=8,
+    )
+    + ")",
+)
+def q_substr_dedup(spark, sf_dir):
+    """ExactSubstr token-window dedup (Lee et al. 2021 — dedup.
+    exact_substr_dedup): every doc_id % 7 doc gets the same planted
+    12-token tail, so its 8-token windows duplicate corpus-wide and all
+    but the first occurrence lose the covered tokens — duplicates that
+    straddle sentence boundaries, invisible to the C4 sentence-span pass
+    (span_dedup). The oracle is an independent algorithm (window
+    row_number first-occurrence over window STRINGS vs Spark's min-struct
+    aggregation over xxhash64) — per-doc token counts, removed counts,
+    and md5 of the rebuilt text must all agree."""
+    doc = F.col("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (doc < 2000) & F.col("text").isNotNull()
+    )
+    injected = F.when(
+        doc % 7 == 0, F.concat(F.col("text"), F.lit(_SUBSTR_COMMON))
+    ).otherwise(F.col("text"))
+    out = D.exact_substr_dedup(docs.withColumn("text", injected), window=8)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed",
+        F.md5("deduped").alias("dedup_md5"),
+    )
+
+
+_RRF_QVEC = 7
+
+@register(
+    "rrf_search",
+    f"""
+WITH bm25_ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM ({X.bm25_topk_sql(_BM25_TERMS, k=50)})
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       WHERE vec_id = {_RRF_QVEC}),
+cos_ranked AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY list_dot_product(q.v, CAST(e.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))) DESC,
+           vec_id) AS INTEGER) AS rank
+  FROM embeddings e CROSS JOIN qv q WHERE e.vec_id <> {_RRF_QVEC}
+  ORDER BY 2 LIMIT 50
+),
+contribs AS (
+  SELECT doc_id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+  FROM bm25_ranked
+  UNION ALL
+  SELECT doc_id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c
+  FROM cos_ranked
+)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_systems
+FROM contribs GROUP BY 1
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+)
+def q_rrf_search(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (textops.rrf_fuse):
+    the BM25 keyword top-50 and the cosine top-50 neighbors of one query
+    embedding (doc_id == vec_id by construction of the test tables) fuse
+    as sum(round(1e6/(60+rank))) — integer contributions, so the oracle
+    is an exact equality on the fused ranking. Docs in only one list get
+    the standard single-system contribution. Plan: both legs end in
+    TakeOrderedAndProject; fusion unions two ≤50-row listings — the
+    corpus is scanned once per leg and never re-shuffled."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm25 = X.bm25_topk(docs, _BM25_TERMS, k=50).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.col("bm25_score").desc(), F.col("doc_id"))
+        ),
+    )
+    cos = SIM.cosine_topk(
+        embs, embs.filter(F.col("vec_id") == _RRF_QVEC), k=50
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return X.rrf_fuse(
+        [bm25.select("doc_id", "rank"), cos], k0=60, k=20
+    )
+
+
+@register("bpe_pairs", X.bpe_pair_stats_sql(top_k=32))
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training merge selection (textops.bpe_pair_stats —
+    Sennrich et al. 2016): corpus-weighted adjacent symbol-pair counts
+    over the initial character vocabulary, top-32 by (count desc, pair) —
+    the first merge a BPE trainer would make plus the runners-up, as
+    exact integers. Plan: the only corpus-scale stage is the
+    word-frequency groupBy (map-side combine); pair explosion runs on the
+    vocab-sized distinct-word table. The full iterated trainer
+    (textops.bpe_learn_merges) is pytest-pinned against a pure-Python
+    reference — each iteration touches only the cached vocab table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.bpe_pair_stats(docs, top_k=32)
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -3744,6 +3862,11 @@ _DRIVER_WINDOW = [
     "bm25_search",
     "stratified_topn",
     "perplexity_filter",
+    # newest in round 4: ExactSubstr token-window dedup, RRF hybrid
+    # retrieval, BPE merge-selection stats
+    "substr_dedup",
+    "rrf_search",
+    "bpe_pairs",
     # long-green flagship slice filling the window to exactly 50.
     # Rotated out for the five entries above — each with three rounds of
     # green history and its semantics still driver-covered elsewhere:
@@ -3762,9 +3885,11 @@ _DRIVER_WINDOW = [
     "doc_fingerprint",
     "prefix_jaccard_pairs",
     "dedup_components",
-    "minhash_dedup",
-    "minhash_dedup_cc",
-    "ngram_jaccard_pairs",
+    # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs rotated out
+    # for the three newest entries above: each has two rounds of
+    # driver-green history (r2+r3 window) and the dedup family stays
+    # window-covered by substr_dedup / span_dedup / semdedup /
+    # prefix_jaccard_pairs / dedup_components.
 ]
 
 

@@ -687,3 +687,208 @@ SELECT _id AS {id_col}, CAST(sum(_c) AS BIGINT) AS bm25_score,
 FROM contrib GROUP BY 1
 ORDER BY bm25_score DESC, {id_col} LIMIT {k}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings into one:
+    fused(d) = sum over systems of 1/(k0 + rank_s(d)), here as the
+    ×1e6-quantized integer round(1e6/(k0+rank)) so a cross-engine oracle is
+    an exact equality. Each input must carry (id_col, rank) with rank
+    1-based. Docs missing from a system contribute 0 (the standard RRF
+    convention). Ties break on ascending id.
+
+    Scale shape: the inputs are already top-k listings (broadcast-small);
+    fusion is a unionByName of bare (id, contribution) rows, one tiny
+    groupBy, and TakeOrderedAndProject — the corpus itself is never
+    touched. Returns (id_col, rrf_score, n_systems)."""
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col).alias("_id"),
+            F.round(F.lit(float(_RRF_SCALE)) / (F.lit(k0) + F.col("rank")))
+            .cast("long")
+            .alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("_id").agg(
+        F.sum("_c").alias("rrf_score"),
+        F.count("*").alias("n_systems"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "rrf_score", "n_systems")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer training: distributed BPE pair statistics + merge learning
+# --------------------------------------------------------------------------
+
+_EOW = "</w>"
+
+
+def _word_symbols(word_col: Column) -> Column:
+    """Initial BPE symbol sequence for a word: its characters plus the
+    end-of-word marker (Sennrich et al. 2016 §3.2)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 32,
+) -> DataFrame:
+    """The merge-selection step of BPE tokenizer training (Sennrich et al.
+    2016): corpus-weighted counts of adjacent symbol pairs over the initial
+    character vocabulary, top-k by (count desc, pair asc) — the pair a BPE
+    trainer would merge first, plus the runners-up.
+
+    Scale shape: the only corpus-scale work is the word-frequency
+    aggregation (one shuffle on the word key with map-side combine —
+    heavy-hitter words partial-aggregate in the scan task). Pair explosion
+    runs on the DISTINCT-word table, which is vocab-sized — orders of
+    magnitude smaller than the corpus — so the expensive transform touches
+    |vocab| rows, not |corpus|. Returns (sym_a, sym_b, pair_count)."""
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
+    vocab = words.groupBy("_w").agg(F.count("*").alias("_n"))
+    syms = vocab.withColumn("_syms", _word_symbols(F.col("_w")))
+    pairs = syms.select(
+        "_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("_syms"), i).alias("a"),
+                    F.element_at(F.col("_syms"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("_p"),
+    )
+    counts = pairs.groupBy(
+        F.col("_p.a").alias("sym_a"), F.col("_p.b").alias("sym_b")
+    ).agg(F.sum("_n").alias("pair_count"))
+    return (
+        counts.orderBy(
+            F.col("pair_count").desc(), F.col("sym_a"), F.col("sym_b")
+        )
+        .limit(top_k)
+        .select("sym_a", "sym_b", "pair_count")
+    )
+
+
+def bpe_pair_stats_sql(table: str = "documents", text_col: str = "text",
+                       top_k: int = 32) -> str:
+    """DuckDB twin of bpe_pair_stats — exact integer pair counts."""
+    return f"""
+WITH words AS (
+  SELECT u.w AS _w
+  FROM {table},
+       unnest(regexp_split_to_array(trim(lower({text_col})), '\\s+')) AS u(w)
+  WHERE {text_col} IS NOT NULL AND u.w <> ''
+),
+vocab AS (SELECT _w, count(*) AS _n FROM words GROUP BY 1),
+syms AS (
+  SELECT _n,
+         list_append(list_transform(range(1, length(_w) + 1),
+                                    i -> _w[i]), '{_EOW}') AS _syms
+  FROM vocab
+),
+pairs AS (
+  SELECT _n, _syms[i] AS sym_a, _syms[i + 1] AS sym_b
+  FROM syms, unnest(range(1, len(_syms))) AS t(i)
+)
+SELECT sym_a, sym_b, CAST(sum(_n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, sym_a, sym_b LIMIT {top_k}
+""".strip()
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges: the full Sennrich et al. training loop.
+    The corpus-scale pass happens ONCE (the word-frequency aggregation in
+    bpe_pair_stats' shape); every merge iteration then runs on the cached
+    vocab-sized symbol table — pair counts over |vocab| rows, one 1-row
+    collect of the argmax pair, and an in-array fold applying the merge
+    left-to-right non-overlapping (the fold's accumulator semantics are
+    exactly BPE's leftmost scan). Returns the learned merge list; pytest
+    pins it against a pure-Python reference implementation."""
+    words = df.select(
+        F.explode(tokens(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
+    vocab = (
+        words.groupBy("_w").agg(F.count("*").alias("_n"))
+        .withColumn("_syms", _word_symbols(F.col("_w")))
+        .select("_n", "_syms")
+    )
+    vocab = vocab.persist()
+    vocab.count()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = vocab.select(
+                "_n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_syms"), i).alias("a"),
+                            F.element_at(F.col("_syms"), i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("_p"),
+            ).where(F.size("_syms") > 1)
+            top = (
+                pairs.groupBy("_p.a", "_p.b")
+                .agg(F.sum("_n").alias("_c"))
+                .orderBy(F.col("_c").desc(), F.col("a"), F.col("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            merged = a + b
+            apply_merge = F.aggregate(
+                F.col("_syms"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (s == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            nxt = vocab.select("_n", apply_merge.alias("_syms")).persist()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges

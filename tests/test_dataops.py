@@ -528,3 +528,179 @@ def test_bm25_partitioning_independent_and_scale_shaped(spark, docs):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+# --------------------------------------------------------------------------
+# ExactSubstr token-window dedup (Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+
+def test_exact_substr_dedup(spark):
+    rows = [
+        (0, "a b c d e f g h"),
+        # shares the 4-token run "c d e f" with doc 0 — but split across
+        # different "sentence" punctuation, which a sentence-span pass
+        # would miss
+        (1, "x y. c d e f. z w"),
+        (2, "too short"),
+        # full duplicate of doc 0: every token removed
+        (3, "a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           D.exact_substr_dedup(df, window=4).collect()}
+    assert got[0]["n_removed"] == 0 and got[0]["deduped"] == rows[0][1]
+    # doc 1's tokens are "x y. c d e f. z w" — the punctuation glues to
+    # the tokens, so "c d e f" there is NOT the same windows as doc 0's
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 0  # < window tokens: no windows
+    assert got[3]["n_removed"] == 8 and got[3]["deduped"] == ""
+
+
+def test_exact_substr_dedup_straddles_sentences(spark):
+    # the duplicated run crosses a sentence boundary in BOTH docs at
+    # DIFFERENT positions — sentence-window dedup can't see it, the
+    # token-window pass removes it from the later doc
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "intro words here. alpha beta gamma delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           D.exact_substr_dedup(df, window=3).collect()}
+    assert got[0]["n_removed"] == 0
+    # doc 1 keeps its unique prefix; the shared 6-token tail minus the
+    # window straddling "here." stays — windows containing "here." differ
+    assert got[1]["n_removed"] == 6
+    assert got[1]["deduped"] == "intro words here."
+
+
+def test_exact_substr_dedup_first_occurrence_and_partitions(spark):
+    rows = [(i, "the same eight token run exactly here now") for i in
+            range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for parts in (1, 7):
+        got = {r["doc_id"]: r for r in
+               D.exact_substr_dedup(df.repartition(parts), window=8)
+               .collect()}
+        assert got[0]["n_removed"] == 0          # min doc_id owns
+        for i in range(1, 6):
+            assert got[i]["n_removed"] == 8 and got[i]["deduped"] == ""
+
+
+def test_exact_substr_dedup_text_never_shuffles(spark):
+    df = spark.createDataFrame(
+        [(i, "w%d " % i * 12) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = D.exact_substr_dedup(df, window=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the span-resolution exchanges carry bare (hash, id, pos) — text only
+    # rides the final by-id join-back
+    n_text = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "text" in line
+    )
+    assert n_text <= 1
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion
+# --------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in
+           X.rrf_fuse([a, b], k0=60, k=10).collect()}
+    S = 1_000_000
+    assert got[11]["rrf_score"] == round(S / 61) + round(S / 62)
+    assert got[11]["n_systems"] == 2
+    assert got[10]["rrf_score"] == round(S / 61) and got[10]["n_systems"] == 1
+    assert got[13]["rrf_score"] == round(S / 62)
+    # doc in both lists outranks any single-system doc at these depths
+    order = [r["doc_id"] for r in
+             X.rrf_fuse([a, b], k0=60, k=10).collect()]
+    assert order[0] == 11
+
+
+def test_rrf_fuse_tie_breaks_on_id(spark):
+    a = spark.createDataFrame([(5, 1), (3, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (5, 2)], "doc_id long, rank int")
+    order = [r["doc_id"] for r in X.rrf_fuse([a, b], k=10).collect()]
+    assert order == [3, 5]  # equal fused scores -> ascending id
+
+
+# --------------------------------------------------------------------------
+# BPE pair stats + merge learning
+# --------------------------------------------------------------------------
+
+
+def _bpe_reference(word_counts: dict[str, int], n_merges: int):
+    """Pure-Python Sennrich et al. BPE trainer for cross-checking."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return merges
+
+
+def test_bpe_pair_stats_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "low low low lower"), (1, "lowest low")],
+        "doc_id long, text string",
+    )
+    got = {(r["sym_a"], r["sym_b"]): r["pair_count"]
+           for r in X.bpe_pair_stats(df, top_k=100).collect()}
+    # "low" x4, "lower" x1, "lowest" x1 -> (l,o) and (o,w) appear in all 6
+    assert got[("l", "o")] == 6 and got[("o", "w")] == 6
+    assert got[("w", "</w>")] == 4
+    assert got[("w", "e")] == 2  # lower + lowest
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    corpus = "low low low low low lower lower newest newest newest " \
+             "newest newest newest widest widest widest"
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    wc: dict[str, int] = {}
+    for w in corpus.split():
+        wc[w] = wc.get(w, 0) + 1
+    want = _bpe_reference(wc, 8)
+    got = X.bpe_learn_merges(df, n_merges=8)
+    assert got == want
+
+
+def test_bpe_merge_overlap_is_leftmost(spark):
+    # "aaaa" with pair (a,a): leftmost non-overlapping scan merges
+    # positions (1,2) and (3,4) -> counts for the next round must see
+    # (aa, aa), never an overlapped (a, aa) in the middle
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    got = X.bpe_learn_merges(df, n_merges=2)
+    want = _bpe_reference({"aaaa": 2}, 2)
+    assert got == want
