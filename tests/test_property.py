@@ -274,3 +274,49 @@ def test_span_dedup_no_dups_is_identity(spark, texts):
             # sequence is preserved exactly
             assert "".join(r["deduped"].split()) == \
                 "".join((r["text"] or "").split())
+
+
+def _substr_dedup_reference(texts: list[str], k: int):
+    """Pure-Python ExactSubstr reference: first occurrence (doc order,
+    then position) of each duplicated k-token window owns it; every other
+    occurrence removes its covered positions."""
+    toks = [t.strip().lower().split() if t.strip() else [""] for t in texts]
+    # NOTE: python split() drops empties; Spark split('\s+') on trimmed
+    # text yields [''] for empty — mirror that
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(toks):
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p:p + k]), []).append((d, p))
+    removed: dict[int, set[int]] = {}
+    for places in occ.values():
+        if len(places) > 1:
+            for d, p in sorted(places)[1:]:
+                removed.setdefault(d, set()).update(range(p, p + k))
+    out = []
+    for d, ts in enumerate(toks):
+        rem = removed.get(d, set())
+        kept = [t for i, t in enumerate(ts) if i not in rem]
+        out.append((len(ts), len(rem), " ".join(kept)))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=24)
+    .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=8,
+))
+def test_exact_substr_dedup_matches_reference(spark, texts):
+    from beats_spark.dedup import exact_substr_dedup
+
+    k = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           exact_substr_dedup(docs, window=k).collect()}
+    want = _substr_dedup_reference(texts, k)
+    for d, (n_tok, n_rem, deduped) in enumerate(want):
+        assert got[d]["n_tokens"] == n_tok, (d, texts)
+        assert got[d]["n_removed"] == n_rem, (d, texts)
+        assert got[d]["deduped"] == deduped, (d, texts)
