@@ -3803,6 +3803,27 @@ def q_rrf_search(spark, sf_dir):
     )
 
 
+@register(
+    "temperature_mix",
+    "SELECT doc_id, lang, mix_kept FROM ("
+    + SM.temperature_mix_sql(budget=200)
+    + ") ORDER BY doc_id",
+)
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing at α = 0.5 (sampling.
+    temperature_mix — the XLM-R exponential-smoothing rebalance): sampling
+    rates DERIVED in-plan from per-language corpus counts (p_g ∝
+    sqrt(n_g)), then a deterministic md5-threshold keep per doc. All
+    threshold arithmetic is exact integers (floor-quantized sqrt, HUGEINT
+    floor division), so the oracle matches the per-row decisions exactly.
+    Plan: one corpus groupBy count, a ≤|langs|-row collect, broadcast
+    rate join, map-only decision."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SM.temperature_mix(docs, budget=200).select(
+        "doc_id", "lang", "mix_kept"
+    )
+
+
 @register("bpe_pairs", X.bpe_pair_stats_sql(top_k=32))
 def q_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training merge selection (textops.bpe_pair_stats —
@@ -3867,6 +3888,7 @@ _DRIVER_WINDOW = [
     "substr_dedup",
     "rrf_search",
     "bpe_pairs",
+    "temperature_mix",
     # long-green flagship slice filling the window to exactly 50.
     # Rotated out for the five entries above — each with three rounds of
     # green history and its semantics still driver-covered elsewhere:
@@ -3882,7 +3904,9 @@ _DRIVER_WINDOW = [
     "dissect_parse",
     "condition_filter",
     "enrich_translate",
-    "doc_fingerprint",
+    # doc_fingerprint rotated out for temperature_mix (three rounds of
+    # driver-green history; the fingerprint family stays window-covered by
+    # the fingerprint §2 query and pytest).
     "prefix_jaccard_pairs",
     "dedup_components",
     # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs rotated out

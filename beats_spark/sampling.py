@@ -486,3 +486,111 @@ lm_nll AS (
   LEFT JOIN lm_doc d ON t.{id_col} = d._id
 )
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled domain mixing (XLM-R §3.1 / mBERT exponential smoothing)
+# --------------------------------------------------------------------------
+
+_MIX_HEX_SPACE = 16 ** 8
+_MIX_Q = 1000  # sqrt(n) quantized to milli-precision before the ratio
+
+
+def _mix_thresholds(counts: list[tuple[str, int]], budget: int
+                    ) -> list[tuple[str, int, str, bool]]:
+    """Per-group (group, n_docs, threshold_hex, keep_all) for α=0.5
+    temperature mixing, in EXACT integer arithmetic: q_g = floor(1e3 *
+    sqrt(n_g)) (IEEE sqrt is correctly rounded, so Python and DuckDB agree
+    bit-for-bit), S = Σ q_g (integer), and the md5-prefix threshold is
+    floor(16^8 * budget * q_g / (S * n_g)) via integer floor-division —
+    no float ever crosses an engine boundary."""
+    import math
+
+    qs = {g: math.floor(_MIX_Q * math.sqrt(n)) for g, n in counts}
+    s = sum(qs.values())
+    out = []
+    for g, n in counts:
+        t = (_MIX_HEX_SPACE * budget * qs[g]) // (s * n) if s and n else 0
+        keep_all = t >= _MIX_HEX_SPACE
+        out.append((g, n, format(min(t, _MIX_HEX_SPACE - 1), "08x"),
+                    keep_all))
+    return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    budget: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled domain mixing at α = 0.5: sampling rates are
+    DERIVED from corpus counts (p_g ∝ sqrt(n_g), the exponential-smoothing
+    rebalance used for multilingual/domain mixes), unlike stratified_sample
+    where the caller supplies them. Each doc keeps iff md5(id:salt)'s
+    8-hex prefix falls under its group threshold, so the sample is
+    deterministic, repartition-stable, and grows monotonically with
+    `budget`. Rows with a NULL group are dropped (document and pre-coalesce
+    upstream if they must participate).
+
+    Scale shape: ONE corpus-scale groupBy count (map-side combine), a
+    ≤|groups|-row collect (same tiny-driver-state class as the CC
+    convergence check — group cardinality is languages/sources, not docs),
+    thresholds rebuilt with exact integer arithmetic, and the decision is
+    a broadcast join + one md5 per row, map-only. Returns the input plus
+    ``mix_kept``. α = 0.5 is the oracle-exact configuration (IEEE sqrt is
+    correctly rounded; general pow is not)."""
+    base = df.where(F.col(group_col).isNotNull())
+    counts = [
+        (r["_g"], r["_n"])
+        for r in base.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count("*").alias("_n")).collect()
+    ]
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        _mix_thresholds(sorted(counts), budget),
+        f"{group_col} string, _n_docs long, _t_hex string, _keep_all boolean",
+    )
+    dec = _decision_hex(id_col, salt)
+    return (
+        base.join(F.broadcast(rates.drop("_n_docs")), group_col)
+        .withColumn("mix_kept", F.col("_keep_all") | (dec < F.col("_t_hex")))
+        .drop("_t_hex", "_keep_all")
+    )
+
+
+def temperature_mix_sql(
+    table: str = "documents",
+    group_col: str = "lang",
+    budget: int = 1000,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> str:
+    """DuckDB twin — identical integer threshold arithmetic (HUGEINT
+    products, // floor division, printf hex render)."""
+    return f"""
+WITH base AS (
+  SELECT * FROM {table} WHERE {group_col} IS NOT NULL
+),
+counts AS (
+  SELECT {group_col} AS g, count(*) AS n FROM base GROUP BY 1
+),
+qs AS (
+  SELECT g, n, CAST(floor({_MIX_Q} * sqrt(n)) AS BIGINT) AS q FROM counts
+),
+thresholds AS (
+  SELECT g, n,
+         (CAST({_MIX_HEX_SPACE} AS HUGEINT) * {budget} * q)
+           // (CAST((SELECT sum(q) FROM qs) AS HUGEINT) * n) AS t
+  FROM qs
+),
+dec AS (
+  SELECT b.*,
+         t.t >= {_MIX_HEX_SPACE} OR
+         {_decision_hex_sql(id_col, salt)} <
+           printf('%08x', CAST(least(t.t, {_MIX_HEX_SPACE - 1}) AS BIGINT))
+           AS mix_kept
+  FROM base b JOIN thresholds t ON b.{group_col} = t.g
+)
+SELECT * FROM dec
+""".strip()

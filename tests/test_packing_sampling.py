@@ -385,3 +385,59 @@ def test_lm_nll_plan_is_scale_shaped(spark, dsir_docs):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line
+
+
+# --------------------------------------------------------------------------
+# temperature-scaled domain mixing
+# --------------------------------------------------------------------------
+
+
+def test_temperature_mix_rebalances_toward_small_groups(spark):
+    from beats_spark.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = (
+        temperature_mix(df, budget=200)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum(F.col("mix_kept").cast("int"))
+             .alias("kept"))
+        .collect()
+    )
+    by = {r["lang"]: r for r in got}
+    # α=0.5: keep rates ∝ 1/sqrt(n). small (100 docs) must be sampled at
+    # ~3x the rate of big (900 docs): sqrt(900)/sqrt(100) = 3
+    rate_big = by["big"]["kept"] / by["big"]["n"]
+    rate_small = by["small"]["kept"] / by["small"]["n"]
+    assert rate_small > 2.0 * rate_big
+    # total lands near the budget (hash-threshold binomial noise only)
+    total = by["big"]["kept"] + by["small"]["kept"]
+    assert 150 <= total <= 250
+
+
+def test_temperature_mix_monotone_in_budget_and_partition_stable(spark):
+    from beats_spark.sampling import temperature_mix
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def kept(budget, parts):
+        return {
+            r["doc_id"]
+            for r in temperature_mix(df.repartition(parts), budget=budget)
+            .where("mix_kept").collect()
+        }
+
+    k60, k120 = kept(60, 4), kept(120, 4)
+    assert k60 <= k120          # budget growth only adds docs
+    assert kept(60, 1) == k60   # partitioning never changes the decision
+
+
+def test_temperature_mix_null_group_dropped_keep_all_cap(spark):
+    from beats_spark.sampling import temperature_mix
+
+    rows = [(0, None)] + [(i, "en") for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = temperature_mix(df, budget=1000).collect()
+    # null-group row dropped; budget >> corpus -> rate capped, all kept
+    assert len(got) == 9 and all(r["mix_kept"] for r in got)
