@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # tiny per-language stopword banks (public common-word lists); the heuristic
 # is argmax of distinct-stopword hits, ties broken by language code order
@@ -892,3 +893,70 @@ def bpe_learn_merges(
     finally:
         vocab.unpersist()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus (the tokenizer-APPLY step —
+    bpe_learn_merges is the train step). Standard merge-rank encoding:
+    per word, repeatedly merge the lowest-rank adjacent pair until no
+    learned pair remains. Adds `out_col: array<string>` and
+    `n_bpe_tokens`.
+
+    Scale shape: one mapInPandas pass (Arrow batches, no per-row Python
+    dispatch at the Spark layer); the kernel memoizes per-WORD encodings
+    in a batch-local dict, so the inner loop runs once per distinct word
+    per batch — Zipf makes that a small fraction of token volume. The
+    merge table ships in the closure (it is n_merges rows — vocab-sized).
+    Iterative semantics are not SQL-expressible; correctness is pinned in
+    pytest against a pure-Python reference encoder."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [_EOW]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+        memo[word] = syms
+        return syms
+
+    out_fields = df.schema.fields + [
+        T.StructField(out_col, T.ArrayType(T.StringType())),
+        T.StructField("n_bpe_tokens", T.IntegerType()),
+    ]
+    schema = T.StructType(out_fields)
+
+    def kernel(batches):
+        memo: dict = {}
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                if text is None or not str(text).strip():
+                    toks.append([])
+                    counts.append(0)
+                    continue
+                enc: list[str] = []
+                for w in str(text).strip().lower().split():
+                    enc.extend(encode_word(w, memo))
+                toks.append(enc)
+                counts.append(len(enc))
+            pdf = pdf.copy()
+            pdf[out_col] = toks
+            pdf["n_bpe_tokens"] = pd.Series(counts, dtype="int32",
+                                            index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
