@@ -3824,6 +3824,31 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+@register(
+    "winnow_fingerprint",
+    X.winnow_fingerprints_sql(table="(SELECT * FROM documents"
+                              " WHERE doc_id < 2000) s"),
+)
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (textops.winnow_fingerprints — Schleimer
+    et al. 2003, the MOSS / The-Stack code-dedup scheme): per document,
+    the set of per-w-window minimum shingle hashes, guaranteeing any
+    shared substring of length >= w+k-1 yields a shared fingerprint.
+    doc_fingerprint is the global-min (w = n) special case. Map-only —
+    the shingle-hash array materializes once per row, window minima are
+    in-array slice+min, no exchange/join/Python. The oracle recomputes
+    the identical md5 shingle minima and compares the per-doc
+    fingerprint-set digest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 2000) & F.col("text").isNotNull()
+    )
+    out = X.winnow_fingerprints(docs)
+    return out.select(
+        "doc_id", "n_fingerprints",
+        F.md5(F.array_join("winnow_fps", ",")).alias("fps_md5"),
+    )
+
+
 @register("bpe_pairs", X.bpe_pair_stats_sql(top_k=32))
 def q_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training merge selection (textops.bpe_pair_stats —
@@ -3889,6 +3914,7 @@ _DRIVER_WINDOW = [
     "rrf_search",
     "bpe_pairs",
     "temperature_mix",
+    "winnow_fingerprint",
     # long-green flagship slice filling the window to exactly 50.
     # Rotated out for the five entries above — each with three rounds of
     # green history and its semantics still driver-covered elsewhere:
@@ -3904,10 +3930,11 @@ _DRIVER_WINDOW = [
     "dissect_parse",
     "condition_filter",
     "enrich_translate",
-    # doc_fingerprint rotated out for temperature_mix (three rounds of
-    # driver-green history; the fingerprint family stays window-covered by
-    # the fingerprint §2 query and pytest).
-    "prefix_jaccard_pairs",
+    # doc_fingerprint rotated out for temperature_mix and
+    # prefix_jaccard_pairs for winnow_fingerprint (both multi-round
+    # driver-green; fingerprints stay window-covered by
+    # winnow_fingerprint, exact-similarity by substr_dedup/span_dedup/
+    # semdedup and the §2 fingerprint query).
     "dedup_components",
     # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs rotated out
     # for the three newest entries above: each has two rounds of

@@ -960,3 +960,90 @@ def bpe_encode(
             yield pdf
 
     return df.mapInPandas(kernel, schema)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 12,
+    target: str = "winnow_fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm, used for code dedup in The Stack): hash every
+    k-char shingle of the normalized text, then keep the MINIMUM hash of
+    each w-hash window. Guarantee: two documents sharing any substring of
+    length >= w + k - 1 share at least one fingerprint. doc_fingerprint
+    is the degenerate w = n case (one global min).
+
+    Shape: map-only — the shingle-hash array materializes ONCE per row
+    (one md5 per position), window minima are in-array slice+min over
+    that array (no rehashing, O(w·n) comparisons but O(n) hashes), the
+    fingerprint set is array_distinct. No exchange, no join, no Python.
+    Hashes are md5 hex (lexicographic min — '0'-'9' < 'a'-'f' ordering is
+    identical across engines), the same cross-engine-reproducibility
+    trade simhash made (dedup.py): a production variant would use
+    xxhash64, which DuckDB lacks. Docs shorter than w + k - 1 chars get
+    an empty fingerprint set."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    out = df.withColumn("_wn_norm", norm)
+    n_hashes = F.length(F.col("_wn_norm")) - (k - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_hashes, F.lit(0))),
+        lambda i: F.md5(F.col("_wn_norm").substr(i, F.lit(k))),
+    )
+    out = out.withColumn(
+        "_wn_hashes",
+        F.when(n_hashes >= 1, hashes).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    n_windows = F.size("_wn_hashes") - (w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("_wn_hashes"), j, w)),
+    )
+    fps = F.when(
+        n_windows >= 1, F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        out.withColumn(target, fps)
+        .withColumn("n_fingerprints", F.size(target))
+        .drop("_wn_norm", "_wn_hashes")
+    )
+
+
+def winnow_fingerprints_sql(table: str = "documents", text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            w: int = 12) -> str:
+    """DuckDB twin: identical md5 shingle hashes, identical window minima.
+    Yields ({id_col}, n_fingerprints, fps_md5) where fps_md5 is md5 of
+    the sorted-distinct fingerprint set joined with ','."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {norm} AS norm FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+hashed AS (
+  SELECT _id,
+         CASE WHEN length(norm) - {k - 1} >= 1 THEN
+           list_transform(range(1, length(norm) - {k - 1} + 1),
+                          i -> md5(substr(norm, CAST(i AS INTEGER), {k})))
+         ELSE [] END AS hs
+  FROM base
+),
+winnowed AS (
+  SELECT _id,
+         CASE WHEN len(hs) - {w - 1} >= 1 THEN
+           list_sort(list_distinct(
+             list_transform(range(1, len(hs) - {w - 1} + 1),
+                            j -> list_min(hs[CAST(j AS INTEGER):CAST(j + {w - 1} AS INTEGER)]))))
+         ELSE [] END AS fps
+  FROM hashed
+)
+SELECT _id AS {id_col}, len(fps) AS n_fingerprints,
+       md5(array_to_string(fps, ',')) AS fps_md5
+FROM winnowed
+""".strip()

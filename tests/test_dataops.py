@@ -749,3 +749,65 @@ def test_bpe_encode_rank_priority_not_greedy_position(spark):
     df = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     got = X.bpe_encode(df, [("b", "c"), ("a", "b")]).collect()[0]
     assert got["bpe_tokens"] == ["a", "bc", "</w>"]
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    from beats_spark.textops import winnow_fingerprints
+
+    # shared run of length >= w + k - 1 = 12 + 8 - 1 = 19 chars ->
+    # fingerprint sets MUST intersect (the winnowing guarantee)
+    shared = "zqxjkvbwpyfghmrtlsn"          # 19 chars, unusual shingles
+    rows = [
+        (0, "first document " + shared + " more words"),
+        (1, "completely other prefix " + shared),
+        (2, "nothing in common with those two at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["winnow_fps"])
+           for r in winnow_fingerprints(df).collect()}
+    assert got[0] & got[1]
+    assert not (got[0] & got[2] and got[1] & got[2])
+
+
+def test_winnow_short_doc_and_global_min_special_case(spark):
+    from beats_spark.textops import doc_fingerprint, winnow_fingerprints
+
+    rows = [(0, "tiny"), (1, "x" * 30), (2, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
+    assert got[0]["n_fingerprints"] == 0      # < w + k - 1 chars
+    assert got[1]["n_fingerprints"] == 1      # all shingles identical
+    # w >= number of shingles -> ONE window -> the global min: equals the
+    # minimum of the full shingle-hash set
+    big_w = winnow_fingerprints(df, w=1000)
+    assert all(r["n_fingerprints"] == 0 for r in big_w.collect())
+
+
+def test_winnow_deterministic_and_edit_stable(spark):
+    from beats_spark.textops import winnow_fingerprints
+
+    base = "a long enough document body for several winnowing windows"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " trailing edit")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: set(r["winnow_fps"])
+           for r in winnow_fingerprints(df).collect()}
+    inter = got[0] & got[1]
+    # a local edit leaves distant window minima untouched
+    assert len(inter) >= max(1, len(got[0]) - 3)
+
+
+def test_exact_substr_dedup_self_repetition_collapses(spark):
+    # degenerate spam: one doc of 20 identical tokens; windows duplicate
+    # WITHIN the doc — the window at position 1 owns, the duplicate
+    # windows at 2..13 remove every position they cover (2..20), so only
+    # the first token survives (same semantics as span_dedup's
+    # internal-repetition case)
+    df = spark.createDataFrame(
+        [(0, " ".join(["spam"] * 20))], "doc_id long, text string"
+    )
+    got = D.exact_substr_dedup(df, window=8).collect()[0]
+    assert got["n_tokens"] == 20
+    assert got["n_removed"] == 19
+    assert got["deduped"] == "spam"

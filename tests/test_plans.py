@@ -373,3 +373,64 @@ def test_conv_quality_agg_reuses_window_partitioning(spark):
     last_window = max(i for i, n in enumerate(nodes) if n == "Window")
     assert "Exchange" not in nodes[last_window:]
     assert "BatchEvalPython" not in nodes
+
+
+def test_bpe_pairs_explodes_only_the_vocab(spark):
+    """bpe_pairs: the corpus-scale stage is ONE word-keyed shuffle with a
+    map-side partial aggregate; the pair explosion (Generate) must sit
+    ABOVE that aggregate — on the vocab-sized table — never on the raw
+    corpus. Top-k via bounded heap, no global Sort."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["bpe_pairs"](spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    nodes = _nodes(plan)
+    assert "TakeOrderedAndProject" in nodes and "Sort" not in nodes
+    # two Generates: corpus token explode (below the word agg) and the
+    # pair explode; the PAIR one must come after the first HashAggregate
+    gen_idx = [i for i, n in enumerate(nodes) if n == "Generate"]
+    agg_idx = [i for i, n in enumerate(nodes) if n == "HashAggregate"]
+    assert len(gen_idx) == 2
+    assert min(agg_idx) < max(gen_idx)  # pair explode above the word agg
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+
+
+def test_temperature_mix_is_broadcast_map_only(spark):
+    """temperature_mix decision pass: the rate table joins by BROADCAST
+    (never shuffling the corpus on the group key) and the decision is
+    pure codegen — no Python, no extra exchange."""
+    from beats_spark.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    nodes = _nodes(_formatted_plan(temperature_mix(docs, budget=100)))
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+    assert "Exchange" not in nodes  # corpus side never repartitions
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+
+
+def test_substr_dedup_resolution_carries_no_text(spark):
+    """substr_dedup: the window-hash resolution exchanges carry bare
+    (hash, id, pos) triples; text rides only the final by-id join-back
+    (broadcast or single hash exchange)."""
+    from beats_spark.dedup import exact_substr_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _formatted_plan(exact_substr_dedup(docs, window=8))
+    text_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "text" in line
+    ]
+    assert len(text_exchanges) <= 1
+    assert "CartesianProduct" not in _nodes(plan)
+
+
+def test_rrf_search_legs_end_in_bounded_topk(spark):
+    """rrf_search: both retrieval legs end in TakeOrderedAndProject (the
+    fused ranking included) — never a global Sort of the corpus."""
+    from beats_spark.queries import QUERIES
+
+    df = QUERIES["rrf_search"](spark, SF_SMOKE)
+    nodes = _nodes(_formatted_plan(df))
+    assert nodes.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in nodes
