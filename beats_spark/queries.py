@@ -3824,6 +3824,57 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+_URL_VARIANTS = [
+    "https://Example.COM:443/path?b=2&a=1#frag",
+    "https://example.com/path?a=1&b=2",
+    "https://EXAMPLE.com/path?utm_source=x&b=2&a=1",
+    "https://example.com/path?b=2&utm_campaign=y&a=1#z",
+    "http://other.ORG:80?x=9",
+    "http://other.org/?x=9&fbclid=abc",
+]
+
+_URL_CASE_SQL = "CASE " + " ".join(
+    f"WHEN doc_id % 6 = {i} THEN '{u}'" for i, u in enumerate(_URL_VARIANTS)
+) + " END"
+
+@register(
+    "url_canonical",
+    f"""
+WITH urls AS (
+  SELECT doc_id, {_URL_CASE_SQL} AS url
+  FROM documents WHERE doc_id < 2000
+),
+canon AS (
+  SELECT doc_id, {X.canonicalize_url_sql("url")} AS canon_url FROM urls
+)
+SELECT canon_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY 1
+""",
+)
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (textops.canonicalize_url — the CC-Net / C4
+    URL-dedup prerequisite): six messy variants of two logical URLs
+    (case-folded scheme/host, stripped fragments and default ports,
+    dropped tracking params, sorted query strings) planted across the
+    doc ids must collapse into exactly two canonical groups. Map-only
+    Column regexes shared verbatim with the oracle; the groupBy shuffles
+    only (canon_url, doc_id) pairs."""
+    doc = F.col("doc_id")
+    url = F.lit(None).cast("string")
+    for i, u in enumerate(_URL_VARIANTS):
+        url = F.when(doc % 6 == i, F.lit(u)).otherwise(url)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        doc < 2000
+    )
+    return (
+        docs.select(doc, X.canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("first_doc"))
+    )
+
+
 @register(
     "winnow_fingerprint",
     X.winnow_fingerprints_sql(table="(SELECT * FROM documents"
@@ -3915,6 +3966,7 @@ _DRIVER_WINDOW = [
     "bpe_pairs",
     "temperature_mix",
     "winnow_fingerprint",
+    "url_canonical",
     # long-green flagship slice filling the window to exactly 50.
     # Rotated out for the five entries above — each with three rounds of
     # green history and its semantics still driver-covered elsewhere:
@@ -3929,7 +3981,10 @@ _DRIVER_WINDOW = [
     "conv_rollups",
     "dissect_parse",
     "condition_filter",
-    "enrich_translate",
+    # enrich_translate rotated out for url_canonical (three rounds of
+    # driver-green history; the broadcast-lookup enrich stays window-
+    # covered inside transcripts / routed_rows / sink_aggregates, whose
+    # pipeline embeds the same translate stage).
     # doc_fingerprint rotated out for temperature_mix and
     # prefix_jaccard_pairs for winnow_fingerprint (both multi-round
     # driver-green; fingerprints stay window-covered by

@@ -1047,3 +1047,71 @@ SELECT _id AS {id_col}, len(fps) AS n_fingerprints,
        md5(array_to_string(fps, ',')) AS fps_md5
 FROM winnowed
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (the CC-Net / C4 URL-dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+# tracking parameters dropped during canonicalization (public lists)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL for URL-level dedup: lowercase
+    scheme+host, fragment stripped, default port stripped (:80 http,
+    :443 https), tracking params dropped, remaining query params sorted,
+    empty path normalized to '/'. Non-URL input (no scheme://) yields
+    NULL. Pure Column expressions — map-only, RE2-safe regexes shared
+    verbatim with the DuckDB twin."""
+    u = F.regexp_replace(F.trim(url), r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(u, _URL_HOST_RE, 1))
+    # strip the scheme's default port
+    host = (
+        F.when(scheme == "http",
+               F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https",
+              F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, _URL_PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(scheme != "", rebuilt)
+
+
+def canonicalize_url_sql(url_expr: str) -> str:
+    """DuckDB twin of canonicalize_url over `url_expr`."""
+    u = f"regexp_replace(trim({url_expr}), '#.*', '')"
+    scheme = f"lower(regexp_extract({u}, '{_URL_SCHEME_RE}', 1))"
+    hostport = f"lower(regexp_extract({u}, '{_URL_HOST_RE}', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" ELSE {hostport} END"
+    )
+    path0 = f"regexp_extract({u}, '{_URL_PATH_RE}', 1)"
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    qs = (
+        f"array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'),"
+        f" p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"CASE WHEN {scheme} <> '' THEN {scheme} || '://' || {host} || {path}"
+        f" || CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END END"
+    )

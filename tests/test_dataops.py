@@ -811,3 +811,25 @@ def test_exact_substr_dedup_self_repetition_collapses(spark):
     assert got["n_tokens"] == 20
     assert got["n_removed"] == 19
     assert got["deduped"] == "spam"
+
+
+def test_canonicalize_url_rules(spark):
+    cases = [
+        # (input, expected canonical)
+        ("https://Example.COM:443/path?b=2&a=1#frag",
+         "https://example.com/path?a=1&b=2"),
+        ("http://Host.org:80/a/b", "http://host.org/a/b"),
+        ("http://host.org:8080/a", "http://host.org:8080/a"),  # non-default kept
+        ("https://h.io", "https://h.io/"),                     # empty path -> /
+        ("https://h.io/?utm_source=x&gclid=1", "https://h.io/"),
+        ("https://h.io/p?z=1&a=2&fbclid=k", "https://h.io/p?a=2&z=1"),
+        ("not a url", None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", X.canonicalize_url(F.col("u")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])

@@ -33,7 +33,7 @@ def test_round3_tail_is_inside_the_window():
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
         "perplexity_filter", "substr_dedup", "rrf_search", "bpe_pairs",
-        "temperature_mix", "winnow_fingerprint",
+        "temperature_mix", "winnow_fingerprint", "url_canonical",
     ]
     window = set(list(Q.queries())[:50])
     assert set(tail) <= window
@@ -49,4 +49,4 @@ def test_outside_window_only_long_green_or_rows_only():
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
     # oracle coverage of the registry overall
-    assert len(names) == 87 and len(oracles) == 84
+    assert len(names) == 88 and len(oracles) == 85
