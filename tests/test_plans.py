@@ -434,3 +434,25 @@ def test_rrf_search_legs_end_in_bounded_topk(spark):
     nodes = _nodes(_formatted_plan(df))
     assert nodes.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in nodes
+
+
+def test_winnow_fingerprint_is_map_only(spark):
+    """winnow_fingerprint: shingle hashing + window minima are pure
+    in-array expressions — the per-doc query has NO exchange and no
+    Python anywhere."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["winnow_fingerprint"](spark, SF_SMOKE)))
+    assert "Exchange" not in nodes
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+
+
+def test_url_canonical_single_shuffle(spark):
+    """url_canonical: canonicalization is map-side; the only exchange is
+    the canon-url groupBy (with a partial aggregate below it)."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["url_canonical"](spark, SF_SMOKE)))
+    assert nodes.count("Exchange") == 1
+    assert nodes.count("HashAggregate") == 2
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
