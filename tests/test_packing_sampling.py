@@ -441,3 +441,34 @@ def test_temperature_mix_null_group_dropped_keep_all_cap(spark):
     got = temperature_mix(df, budget=1000).collect()
     # null-group row dropped; budget >> corpus -> rate capped, all kept
     assert len(got) == 9 and all(r["mix_kept"] for r in got)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(st.text("abcdef", min_size=1, max_size=4),
+                       st.integers(min_value=1, max_value=10_000)),
+             min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    st.integers(min_value=0, max_value=50_000),
+)
+def test_mix_threshold_math_invariants(counts, budget):
+    # pure-Python check of the exact integer threshold arithmetic
+    from beats_spark.sampling import _MIX_HEX_SPACE, _mix_thresholds
+
+    out = _mix_thresholds(sorted(counts), budget)
+    assert len(out) == len(counts)
+    import math
+    qs = {g: math.floor(1000 * math.sqrt(n)) for g, n in counts}
+    s = sum(qs.values())
+    for (g, n, t_hex, keep_all), (g0, n0) in zip(out, sorted(counts)):
+        assert (g, n) == (g0, n0)
+        t = int(t_hex, 16)
+        assert 0 <= t < _MIX_HEX_SPACE
+        exact_rate = budget * qs[g] / (s * n)
+        # keep_all exactly when the un-capped integer threshold says
+        # rate >= 1 (floor semantics)
+        assert keep_all == ((_MIX_HEX_SPACE * budget * qs[g]) // (s * n)
+                            >= _MIX_HEX_SPACE)
+        if not keep_all:
+            # the hex threshold is the floor of the exact rate in 1/2^32
+            # units — never above it, within 1 ulp below
+            assert t <= exact_rate * _MIX_HEX_SPACE < t + n * s + 1
