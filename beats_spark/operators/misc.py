@@ -56,7 +56,7 @@ def syslog(df: DataFrame, field: str = "message",
 
 def multiline_assemble(
     df: DataFrame,
-    pattern: str,
+    pattern: str | None = None,
     negate: bool = False,
     match: str = "after",
     file_col: str = "conv_id",
@@ -64,34 +64,82 @@ def multiline_assemble(
     line_col: str = "text",
     max_lines: int = 500,
     separator: str = "\n",
+    mode: str = "pattern",
+    count_lines: int | None = None,
+    timeout: float | None = None,
+    ts_col: str | None = None,
+    flush_pattern: str | None = None,
+    skip_newline: bool = False,
 ) -> DataFrame:
     """Reassemble logical events from physical lines — the multiline reader
-    (multiline_config.go:52-63) as a windowed grouping.
+    (multiline_config.go:52-64) as a windowed grouping. All three reference
+    modes:
 
-    Semantics (pattern/negate/match=after, the dominant config): a line
-    matching (pattern XOR negate) CONTINUES the previous event; a
-    non-matching line STARTS a new event. Event id = running count of
-    starts within (file, offset-order) — a window cumsum, no Python.
-    Returns one row per assembled event with the joined text and line span.
+    - mode="pattern" (default): a line matching (pattern XOR negate)
+      CONTINUES the previous event; a non-matching line STARTS a new event
+      (match="before" shifts the start flag by one — the matching line is
+      PREpended to the following event). `flush_pattern`: a line matching
+      it ends the event WITH that line (the next line starts fresh).
+    - mode="count": every `count_lines` physical lines form one event
+      (multiline_config.go:75-79 requires count_lines > 0).
+    - mode="while_pattern": maximal runs of lines matching (pattern XOR
+      negate) form one event; every non-matching line is emitted as its
+      own single-line event.
+
+    `timeout` + `ts_col`: the reference's idle-flush (multiline.timeout) —
+    in batch, a gap > timeout seconds between consecutive lines breaks the
+    event (streaming twins get real idle flush from session windows).
+    `skip_newline` joins lines without the separator
+    (multiline_config.go:64).
+
+    Event id = running count of starts within (file, offset-order) — a
+    window cumsum, no Python. Returns one row per assembled event with the
+    joined text and line span.
     """
-    is_cont = F.col(line_col).rlike(pattern)
-    if negate:
-        is_cont = ~is_cont
-    if match == "before":
-        # 'before': matching line is PREpended to the following event —
-        # equivalently a new event starts after a non-matching line; shift
-        # the start flag by one
-        w0 = W.partitionBy(file_col).orderBy(offset_col)
-        starts = ~F.coalesce(F.lag(is_cont, 1).over(w0), F.lit(False))
+    w0 = W.partitionBy(file_col).orderBy(offset_col)
+    if mode == "count":
+        if not count_lines or count_lines <= 0:
+            raise ValueError(
+                "multiline.count_lines must be positive in count mode "
+                "(multiline_config.go:75-79)"
+            )
+        evt = F.floor((F.row_number().over(w0) - 1) / F.lit(count_lines))
+        lines = df.withColumn("_evt", evt)
     else:
-        starts = ~is_cont
-    w = (
-        W.partitionBy(file_col)
-        .orderBy(offset_col)
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    evt = F.sum(F.when(starts, 1).otherwise(0)).over(w)
-    lines = df.withColumn("_evt", evt)
+        if pattern is None:
+            raise ValueError(
+                "multiline.pattern cannot be empty when pattern based "
+                "matching is selected (multiline_config.go:47)"
+            )
+        matched = F.col(line_col).rlike(pattern)
+        if negate:
+            matched = ~matched
+        if mode == "while_pattern":
+            # a matching line continues a run of matching lines; any
+            # non-matching line is its own event, and the line after it
+            # always starts fresh
+            starts = (~matched) | ~F.coalesce(
+                F.lag(matched, 1).over(w0), F.lit(False)
+            )
+        elif match == "before":
+            starts = ~F.coalesce(F.lag(matched, 1).over(w0), F.lit(False))
+        else:
+            starts = ~matched
+        if flush_pattern is not None:
+            flushed = F.col(line_col).rlike(flush_pattern)
+            starts = starts | F.coalesce(
+                F.lag(flushed, 1).over(w0), F.lit(False)
+            )
+        if timeout is not None and ts_col is not None:
+            gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+                F.lag(F.col(ts_col), 1).over(w0)
+            )
+            starts = starts | (gap > F.lit(timeout))
+        w = w0.rowsBetween(W.unboundedPreceding, 0)
+        evt = F.sum(F.when(starts, 1).otherwise(0)).over(w)
+        lines = df.withColumn("_evt", evt)
+    if skip_newline:
+        separator = ""
     return (
         lines.groupBy(file_col, "_evt")
         .agg(

@@ -913,7 +913,15 @@ def bpe_encode(
     per batch — Zipf makes that a small fraction of token volume. The
     merge table ships in the closure (it is n_merges rows — vocab-sized).
     Iterative semantics are not SQL-expressible; correctness is pinned in
-    pytest against a pure-Python reference encoder."""
+    pytest against a pure-Python reference encoder.
+
+    Tokenization mirrors tokens() (Java regex \\s+ — ASCII whitespace):
+    the kernel splits with re.ASCII so a word containing non-ASCII
+    whitespace (e.g. \\xa0) segments identically at train and encode
+    time, keeping encodings inside the learned-merge vocabulary."""
+    import re
+
+    ws_split = re.compile(r"\s+", re.ASCII).split
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(word: str, memo: dict) -> list[str]:
@@ -949,8 +957,9 @@ def bpe_encode(
                     counts.append(0)
                     continue
                 enc: list[str] = []
-                for w in str(text).strip().lower().split():
-                    enc.extend(encode_word(w, memo))
+                for w in ws_split(str(text).lower()):
+                    if w:
+                        enc.extend(encode_word(w, memo))
                 toks.append(enc)
                 counts.append(len(enc))
             pdf = pdf.copy()

@@ -751,6 +751,15 @@ def test_bpe_encode_rank_priority_not_greedy_position(spark):
     assert got["bpe_tokens"] == ["a", "bc", "</w>"]
 
 
+def test_bpe_encode_ascii_whitespace_matches_train_tokenization(spark):
+    # \xa0 is NOT a token boundary at train time (tokens() uses Java
+    # \s+, ASCII-only); the encoder splits with re.ASCII so the same
+    # text yields the same single word at encode time
+    df = spark.createDataFrame([(0, "ab\xa0cd")], "doc_id long, text string")
+    got = X.bpe_encode(df, []).collect()[0]
+    assert got["bpe_tokens"] == list("ab\xa0cd") + ["</w>"]
+
+
 def test_winnow_guarantee_shared_substring(spark):
     from beats_spark.textops import winnow_fingerprints
 
@@ -777,8 +786,9 @@ def test_winnow_short_doc_and_global_min_special_case(spark):
     got = {r["doc_id"]: r for r in winnow_fingerprints(df).collect()}
     assert got[0]["n_fingerprints"] == 0      # < w + k - 1 chars
     assert got[1]["n_fingerprints"] == 1      # all shingles identical
-    # w >= number of shingles -> ONE window -> the global min: equals the
-    # minimum of the full shingle-hash set
+    # w > number of shingles -> n_windows = size - w + 1 <= 0 -> EMPTY
+    # fingerprint set (matches the docstring's "docs shorter than w+k-1
+    # chars get an empty set")
     big_w = winnow_fingerprints(df, w=1000)
     assert all(r["n_fingerprints"] == 0 for r in big_w.collect())
 

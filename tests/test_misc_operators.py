@@ -65,6 +65,97 @@ def test_multiline_count_semantics(spark):
     assert out.first().n_lines == 6
 
 
+def test_multiline_count_mode(spark):
+    # count mode (multiline_config.go:75-79): every count_lines lines form
+    # one event — mirrors filebeat/tests/system/test_multiline.py's
+    # test_multiline_count shape (7 lines, count 3 -> events of 3,3,1)
+    rows = [("f", i, f"line{i}") for i in range(7)] + [("g", 0, "solo")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = MISC.multiline_assemble(df, mode="count", count_lines=3)
+    got = {(r.conv_id, r.first_line): r for r in out.collect()}
+    assert got[("f", 0)].message == "line0\nline1\nline2"
+    assert got[("f", 3)].message == "line3\nline4\nline5"
+    assert got[("f", 6)].message == "line6" and got[("f", 6)].n_lines == 1
+    assert got[("g", 0)].message == "solo"
+
+
+def test_multiline_count_mode_requires_count(spark):
+    df = spark.createDataFrame([("f", 0, "x")],
+                               "conv_id string, turn_idx int, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="count_lines"):
+        MISC.multiline_assemble(df, mode="count")
+    with pytest.raises(ValueError, match="pattern"):
+        MISC.multiline_assemble(df, mode="while_pattern")
+
+
+def test_multiline_while_pattern(spark):
+    # while_pattern: maximal runs of matching lines aggregate; every
+    # non-matching line ships as its own event (reader/multiline/
+    # while_pattern.go semantics)
+    rows = [
+        ("f", 0, "x first"),
+        ("f", 1, "x second"),
+        ("f", 2, "plain"),
+        ("f", 3, "x third"),
+        ("f", 4, "other"),
+        ("f", 5, "also other"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = MISC.multiline_assemble(df, r"^x ", mode="while_pattern")
+    got = sorted((r.first_line, r.message) for r in out.collect())
+    assert got == [
+        (0, "x first\nx second"),
+        (2, "plain"),
+        (3, "x third"),
+        (4, "other"),
+        (5, "also other"),
+    ]
+
+
+def test_multiline_while_pattern_negate(spark):
+    # negate flips the run predicate: non-"x " lines aggregate
+    rows = [
+        ("f", 0, "a"), ("f", 1, "b"), ("f", 2, "x stop"), ("f", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = MISC.multiline_assemble(df, r"^x ", mode="while_pattern",
+                                  negate=True)
+    got = sorted((r.first_line, r.message) for r in out.collect())
+    assert got == [(0, "a\nb"), (2, "x stop"), (3, "c")]
+
+
+def test_multiline_timeout_breaks_event(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("f", 0, "START req", base),
+        ("f", 1, "  part1", base + dt.timedelta(seconds=1)),
+        ("f", 2, "  part2", base + dt.timedelta(seconds=30)),  # > 5s idle
+        ("f", 3, "  part3", base + dt.timedelta(seconds=31)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    out = MISC.multiline_assemble(df, r"^\s+", timeout=5, ts_col="ts")
+    got = sorted((r.first_line, r.message) for r in out.collect())
+    assert got == [(0, "START req\n  part1"), (2, "  part2\n  part3")]
+
+
+def test_multiline_flush_pattern_and_skip_newline(spark):
+    # flush_pattern: a line matching it ENDS the event including itself
+    rows = [
+        ("f", 0, "begin"), ("f", 1, "cont END"), ("f", 2, "cont more"),
+        ("f", 3, "tail"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = MISC.multiline_assemble(
+        df, r"^cont|^tail", flush_pattern=r"END$", skip_newline=True)
+    got = sorted((r.first_line, r.message) for r in out.collect())
+    assert got == [(0, "begincont END"), (2, "cont moretail")]
+
+
 def test_decompress_gzip_field(spark):
     payload = gzip.compress(b"hello compressed world")
     df = spark.createDataFrame(
