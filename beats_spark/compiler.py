@@ -276,6 +276,9 @@ def compile_step(step: dict[str, Any]) -> Transform:
             raise CompileError("drop_event requires `when` (always-drop is a bug)")
         return lambda df, w=when: FL.drop_event(df, w)
 
+    if name == "script":
+        return _compile_script(cfg, when)
+
     if name not in _REGISTRY:
         raise CompileError(f"unknown processor {name!r}")
     builder, supports_when = _REGISTRY[name]
@@ -285,6 +288,42 @@ def compile_step(step: dict[str, Any]) -> Transform:
     if not supports_when:
         raise CompileError(f"{name!r} cannot be row-conditional (`when`)")
     return _conditional_apply(op, when)
+
+
+def _compile_script(cfg: dict, when: dict | None) -> Transform:
+    """Script-program composition surface (no JS engine).
+
+    The reference's script processor runs goja JavaScript whose real power
+    is composing REGISTERED native processors: the chain module hands the
+    script a `Chain` builder with one constructor per registered plugin
+    (javascript/module/processor/chain.go:43-58 newChainBuilder exposes
+    registry.Registry.Constructors(); javascript.go:168-180 Run executes
+    the built chain per event). Per-row JS is a deliberate non-goal here —
+    a goja/JS engine would mean per-row Python, the one thing this engine
+    bans — but the chain surface itself is first-class:
+
+        {"script": {"processors": [{...}, {...}], "when": {...}}}
+
+    compiles the inner steps through the SAME registry as top-level
+    processors (nested scripts/if-then-else included). A `when` on the
+    script ANDs into every inner step (WhenProcessor semantics per step via
+    _flatten) so row-shape-changing steps like drop_event stay legal inside
+    a guarded script. For custom columnar logic no registered processor
+    expresses, `operators.misc.vectorized_script` is the escape hatch.
+    """
+    if "processors" not in cfg:
+        if "source" in cfg or "file" in cfg or "files" in cfg or "lang" in cfg:
+            raise CompileError(
+                "script with JS source is not supported: per-row goja would "
+                "violate the engine's no-per-row-Python rule. Express the "
+                "script's processor chain as `script: {processors: [...]}` "
+                "(the reference's chain-module surface) or use "
+                "beats_spark.operators.misc.vectorized_script for custom "
+                "columnar logic"
+            )
+        raise CompileError("script requires `processors: [...]`")
+    steps = _flatten(list(cfg["processors"]), when)
+    return compile_pipeline(steps)
 
 
 def compile_pipeline(spec: list[dict]) -> Transform:

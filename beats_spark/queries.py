@@ -3208,6 +3208,93 @@ def q_routed_rows(spark, sf_dir):
     )
 
 
+# FNV-32a fold in DuckDB: byte i of the UTF-8 key via hex-digit lookup
+# (DuckDB 1.0 cannot cast BLOB->INT, so hex() + strpos does the decode),
+# then list_reduce applies h = (h XOR b) * 16777619 mod 2^32 exactly as
+# the engine's Column expression (scale.fnv32a) and the Go reference
+# (libbeat/outputs/kafka/partition.go:220-277) do.
+_FNV_SQL = """
+((list_reduce(
+    list_prepend(2166136261::BIGINT,
+      list_transform(range(1, octet_length(encode(conv_id)) + 1),
+        i -> ((strpos('0123456789ABCDEF',
+                      substr(hex(encode(conv_id)), cast(2*i-1 as int), 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF',
+                      substr(hex(encode(conv_id)), cast(2*i as int), 1)) - 1))::BIGINT)),
+    (h, b) -> (xor(h, b) * 16777619) % 4294967296
+  ) % 2147483648) % 12)
+""".strip()
+
+
+@register(
+    "kafka_partition",
+    oracle_cte()
+    + f"""
+SELECT CAST({_FNV_SQL} AS INT) AS partition,
+       count(*) AS n, count(DISTINCT conv_id) AS n_keys
+FROM transcripts
+GROUP BY 1
+""",
+)
+def q_kafka_partition(spark, sf_dir):
+    """Kafka hash-partitioner parity, broker-free: every turn's conv_id is
+    assigned the partition the reference's FNV-32a fields-hash partitioner
+    would pick (scale.kafka_partition ≅ partition.go:242-277), then rows
+    and distinct keys per partition roll up. The oracle re-derives the SAME
+    assignment in DuckDB from first principles (hex-decoded UTF-8 bytes +
+    list_reduce FNV fold), so any drift in byte extraction, the fold
+    arithmetic, or hash2Partition's 31-bit masking flips the hash. Pure
+    Column expressions — one map-side pass plus a 12-group aggregate."""
+    from beats_spark.scale import kafka_partition
+
+    t = load_transcripts(spark, sf_dir)
+    t = t.withColumn("partition", kafka_partition(t, ["conv_id"], 12))
+    return t.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("conv_id").alias("n_keys"),
+    )
+
+
+@register(
+    "script_chain",
+    oracle_cte()
+    + """
+SELECT upper(role) AS role_u, count(*) AS n,
+       CAST(sum(CASE WHEN text LIKE '%level=%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_level
+FROM transcripts
+WHERE upper(role) <> 'SYSTEM'
+GROUP BY 1
+""",
+)
+def q_script_chain(spark, sf_dir):
+    """The script-program composition surface end-to-end: a `script:
+    {processors: [...]}` block (the reference chain-module surface,
+    javascript/module/processor/chain.go, minus the JS engine) compiles
+    through the same registry as top-level processors — here uppercase +
+    add_fields + drop_event chained inside one script step, then an
+    aggregate over the surviving rows. The oracle rewrites the chain as
+    plain SQL, so a compile-order or when-guard bug in _compile_script
+    changes counts."""
+    from beats_spark.compiler import compile_pipeline
+
+    t = load_transcripts(spark, sf_dir)
+    prog = compile_pipeline([
+        {"script": {"processors": [
+            {"uppercase": {"fields": ["role"]}},
+            {"copy_fields": {"fields": [{"from": "role", "to": "role_u"}]}},
+            {"drop_event": {"when": {"equals": {"role_u": "SYSTEM"}}}},
+        ]}},
+    ])
+    out = prog(t)
+    return out.groupBy("role_u").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("text").contains("level="), 1).otherwise(0)
+        ).cast("bigint").alias("n_level"),
+    )
+
+
 @register(
     "tool_transitions",
     oracle_cte()
@@ -3924,10 +4011,17 @@ _DRIVER_WINDOW = [
     "media_decode",
     "ann_lsh_recall",
     "ann_ivf_recall",
-    "flows_window",       # absorbed flows_bytes' byte stats this round
-    "stratified_sample",  # null-id sentinel change
-    "pack_sequences",     # id-type derivation change
-    "chunk_documents",    # empty-text guard change
+    "flows_window",       # absorbed flows_bytes' byte stats in r4
+    "chunk_documents",    # empty-text guard change in r4
+    # new or behavior-changed in round 5
+    "kafka_partition",    # new: FNV-32a partitioner parity (scale.py)
+    "script_chain",       # new: script-program composition surface
+    "multiline",          # assembler gained count/while/flush/timeout modes
+    # stratified_sample / pack_sequences / url_blocklist rotated out for
+    # the three round-5 entries above: each is r4 driver-green AND
+    # judge-re-verified at sf0.001 in r4; their families stay in-window
+    # (sampling: stratified_topn + temperature_mix + dsir_select;
+    # packing: transcript_pack + chunk_documents; url: url_canonical).
     # round-3 tail: driver-unverified until now (judge-green only)
     "module_pensando_dfw",
     "module_redis_slowlog",
@@ -3936,7 +4030,6 @@ _DRIVER_WINDOW = [
     "gopher_filter",
     "pii_redact",
     "c4_clean",
-    "url_blocklist",
     "span_dedup",
     "normalize_unicode",
     "curation_funnel",
@@ -3967,35 +4060,28 @@ _DRIVER_WINDOW = [
     "temperature_mix",
     "winnow_fingerprint",
     "url_canonical",
-    # long-green flagship slice filling the window to exactly 50.
-    # Rotated out for the five entries above — each with three rounds of
-    # green history and its semantics still driver-covered elsewhere:
-    # ann_cosine_topk (exact path runs inside ann_lsh_recall /
-    # ann_ivf_recall), timestamp_parse (transcripts flagship + pytest
-    # golden layouts), dedup_exact (curation_funnel stage counts),
-    # sessionize (flows_window sessionization twin stays in-window),
-    # embedding_dedup (semdedup is the row-exact embedding near-dup
-    # check; the GEMM stats path stays pytest-green).
-    "grok_parse",
-    "sink_aggregates",
-    "conv_rollups",
-    "dissect_parse",
-    "condition_filter",
-    # enrich_translate rotated out for url_canonical (three rounds of
-    # driver-green history; the broadcast-lookup enrich stays window-
-    # covered inside transcripts / routed_rows / sink_aggregates, whose
-    # pipeline embeds the same translate stage).
-    # doc_fingerprint rotated out for temperature_mix and
-    # prefix_jaccard_pairs for winnow_fingerprint (both multi-round
-    # driver-green; fingerprints stay window-covered by
-    # winnow_fingerprint, exact-similarity by substr_dedup/span_dedup/
-    # semdedup and the §2 fingerprint query).
+    # round-5 rotation (VERDICT r4 task 2): the five queries with only ONE
+    # round of driver-green history (r3) come back through the window —
+    # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs /
+    # module_system_auth / module_iis_error — displacing the triple-green
+    # flagship filler slice (grok_parse, sink_aggregates, conv_rollups,
+    # dissect_parse, condition_filter: each green in r1+r2+r3 windows and
+    # judge-re-verified at sf0.001 in r4). Their semantics stay window-
+    # covered: grok banks by module_system_auth / module_iis_error /
+    # module_pensando_dfw / module_redis_slowlog; dissect + condition
+    # chains inside transcripts / routed_rows; per-sink aggregates and
+    # conv rollups inside sink_cube / transcript_curation / curation_funnel.
+    "minhash_dedup",
+    "minhash_dedup_cc",
+    "ngram_jaccard_pairs",
+    "module_system_auth",
+    "module_iis_error",
+    # earlier rotations (r4): ann_cosine_topk / timestamp_parse /
+    # dedup_exact / sessionize / embedding_dedup / enrich_translate /
+    # doc_fingerprint rotated out with 3 rounds of green history each;
+    # coverage rationale preserved in git history (queries.py @ r4).
+    # dedup_components stays: first driver-green only in r4.
     "dedup_components",
-    # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs rotated out
-    # for the three newest entries above: each has two rounds of
-    # driver-green history (r2+r3 window) and the dedup family stays
-    # window-covered by substr_dedup / span_dedup / semdedup /
-    # prefix_jaccard_pairs / dedup_components.
 ]
 
 

@@ -121,6 +121,8 @@ def fan_out(
     target: str = SINK_COL,
     file_format: str = "parquet",
     mode: str = "overwrite",
+    kafka_key: list[str] | None = None,
+    kafka_partitions: int = 0,
 ) -> None:
     """Write every sink in ONE pass via partitionBy(_sink).
 
@@ -130,9 +132,22 @@ def fan_out(
     an independent dataset (≅ per-sink Iceberg tables; swap `.format("iceberg")
     .writeTo(table)` per sink in production).
 
+    `kafka_key` + `kafka_partitions`: attach a `_partition` companion column
+    carrying the partition a Kafka sink would assign — byte-parity with the
+    reference's FNV-32a fields-hash partitioner (scale.kafka_partition;
+    libbeat/outputs/kafka/partition.go:242-277) — so a downstream Kafka
+    producer (or an audit of one) sees the same key→partition mapping
+    without a broker in the loop.
+
     `_meta_*` columns are dropped before write — @metadata is routing-only
     state, never indexed (libbeat/beat/event.go:42, outputs drop it).
     """
+    if kafka_key:
+        from .scale import kafka_partition
+
+        df = df.withColumn(
+            "_partition", kafka_partition(df, kafka_key, kafka_partitions)
+        )
     meta_cols = [c for c in df.columns if c.startswith("_meta_")]
     (
         df.drop(*meta_cols)

@@ -158,3 +158,102 @@ def stable_order(df: DataFrame, *cols: str) -> DataFrame:
     way to give every partition the stable (conv_id, turn_idx) order the
     per-turn-equality invariant requires."""
     return df.sortWithinPartitions(*cols)
+
+
+# --- Kafka hash-partitioner parity (broker-free) --------------------------
+#
+# The reference's kafka output assigns partitions with FNV-32a over the key
+# bytes, then `int32(hash) & 0x7FFFFFFF % numPartitions`
+# (libbeat/outputs/kafka/partition.go:220-277: makeHashPartitioner /
+# makeFieldsHashPartitioner / hash2Partition; field values hash per
+# hashFieldValue:280-318 — strings as UTF-8 bytes, integers as
+# binary.Write little-endian at their native width). Implemented here as a
+# pure Column expression (hex-decode the bytes, F.aggregate the FNV fold) —
+# no UDF, stays in codegen, provable against the Go algorithm without a
+# broker. `random` / `round_robin` partitioners are Spark-native
+# (repartition / repartition(n) round-robin) and not re-derived.
+
+FNV32_OFFSET = 2166136261
+FNV32_PRIME = 16777619
+_U32 = 4294967296  # 2**32
+_INT_WIDTH = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
+
+
+def _utf8_byte_array(col: Column) -> Column:
+    """String column -> array<long> of its UTF-8 bytes (empty for '')."""
+    h = F.hex(F.encode(col, "UTF-8"))
+    n = (F.length(h) / F.lit(2)).cast("int")
+    # sequence(1, 0) would generate a DESCENDING [1, 0]; guard empty keys.
+    # The second WHEN (not `otherwise`) keeps NULL keys NULL — an otherwise
+    # branch would silently hash null as the empty key
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).when(
+        n == 0, F.array().cast("array<int>")
+    )
+    return F.transform(
+        seq, lambda i: F.conv(F.substring(h, i * 2 - 1, F.lit(2)), 16, 10)
+        .cast("long")
+    )
+
+
+def _le_byte_array(col: Column, width: int) -> Column:
+    """Integral column -> array<long> of its `width` little-endian bytes
+    (two's complement, matching Go binary.Write of intN/uintN)."""
+    return F.array(*[
+        F.shiftrightunsigned(col.cast("long"), 8 * i)
+        .bitwiseAND(F.lit(255)).cast("long")
+        for i in range(width)
+    ])
+
+
+def kafka_key_bytes(df: DataFrame, fields: list[str]) -> Column:
+    """Concatenated key bytes for `fields` in order, per hashFieldValue:
+    strings as UTF-8, integral types little-endian at native width. Floats
+    are rejected: the reference hashes strconv.FormatFloat(v, 'g', -1)
+    (shortest round-trip), which no Spark cast reproduces — cast such keys
+    to string upstream with an explicit format instead."""
+    parts = []
+    dtypes = dict(df.dtypes)
+    for f in fields:
+        dt = dtypes[f]
+        if dt == "string":
+            parts.append(_utf8_byte_array(F.col(f)))
+        elif dt in _INT_WIDTH:
+            parts.append(_le_byte_array(F.col(f), _INT_WIDTH[dt]))
+        else:
+            raise ValueError(
+                f"kafka_key_bytes: unsupported key dtype {dt!r} for {f!r} "
+                f"(reference hashFieldValue supports string/int; floats use "
+                f"Go 'g' formatting — cast to string upstream)"
+            )
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def fnv32a(bytes_col: Column) -> Column:
+    """FNV-1a 32-bit over an array<long> of byte values (Go hash/fnv):
+    h = 2166136261; per byte: h ^= b; h *= 16777619 (mod 2^32).
+    acc stays < 2^32 and bytes < 2^8, so the XOR touches only low bits and
+    the product peaks near 2^56 — safely inside long before the pmod."""
+    return F.aggregate(
+        bytes_col,
+        F.lit(FNV32_OFFSET).cast("long"),
+        lambda acc, b: F.pmod(acc.bitwiseXOR(b) * F.lit(FNV32_PRIME),
+                              F.lit(_U32)),
+    )
+
+
+def kafka_partition(df: DataFrame, fields: list[str],
+                    num_partitions: int) -> Column:
+    """Partition assignment with byte-parity to the reference
+    (hash2Partition, partition.go:275-278): int32 reinterpretation then
+    `& 0x7FFFFFFF` keeps the low 31 bits — for a uint32 that is exactly
+    `hash mod 2^31` — then mod numPartitions.
+
+    NULL in any key field yields NULL (the reference assigns those rows a
+    random partition — partition.go:223-225,264 — which is non-deterministic
+    by construction; a replayable Spark pipeline must not bake rand() into
+    the plan, so callers coalesce nulls to their own policy)."""
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    h = fnv32a(kafka_key_bytes(df, fields))
+    return F.pmod(F.pmod(h, F.lit(2147483648)), F.lit(num_partitions)) \
+        .cast("int")

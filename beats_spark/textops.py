@@ -823,19 +823,85 @@ ORDER BY pair_count DESC, sym_a, sym_b LIMIT {top_k}
 """.strip()
 
 
+def _safe_merge_batch(
+    top: list, want: int
+) -> list[tuple[str, str, int]]:
+    """Select a batch of merges off ONE stale pair-count snapshot that is
+    provably identical to running the serial Sennrich argmax loop.
+
+    `top` is the collected (a, b, _c) list in reference order (count desc,
+    pair asc); uncollected pairs have count <= c_floor = top[-1]._c (limit()
+    may cut ties, so the bound is inclusive). A candidate is accepted iff:
+
+    1. its symbols {a, b, a+b} are disjoint from every previously-accepted
+       merge's {a_j, b_j, a_j+b_j} — then its stale count is still its true
+       count (merging (a,b)->ab only destroys pairs touching a or b and
+       only creates pairs containing the new ab symbol), and applying the
+       batch left-to-right in one pass equals applying serially; and
+    2. its count strictly exceeds B, an upper bound on the count of ANY
+       pair an already-accepted merge can create: (a,b)->ab creates only
+       (x,ab) from stale (x,a) and (ab,y) from stale (b,y), each with
+       count <= min(c_j, stale count of that neighbor); neighbors outside
+       the snapshot are bounded by c_floor. Strict > keeps tie-breaking
+       exact — a created pair TYING a later candidate could win the
+       reference's lexicographic tie-break.
+
+    Selection STOPS at the first rejected candidate: a conflicting
+    candidate's true count may have dropped, so everything ranked below it
+    has unknown relative order. The argmax itself is always accepted, so
+    every round makes progress.
+    """
+    accepted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    c_floor = top[-1]["_c"]
+    bound = -1
+    for r in top:
+        if len(accepted) >= want:
+            break
+        a, b, c = r["a"], r["b"], r["_c"]
+        if accepted:
+            if {a, b, a + b} & used or c <= bound:
+                break
+        accepted.append((a, b, c))
+        used |= {a, b, a + b}
+        adj = max(
+            (
+                r2["_c"]
+                for r2 in top
+                if r2["b"] == a or r2["a"] == b
+            ),
+            default=0,
+        )
+        bound = max(bound, min(c, max(adj, c_floor)))
+    return accepted
+
+
 def bpe_learn_merges(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_m: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges: the full Sennrich et al. training loop.
     The corpus-scale pass happens ONCE (the word-frequency aggregation in
-    bpe_pair_stats' shape); every merge iteration then runs on the cached
-    vocab-sized symbol table — pair counts over |vocab| rows, one 1-row
-    collect of the argmax pair, and an in-array fold applying the merge
-    left-to-right non-overlapping (the fold's accumulator semantics are
-    exactly BPE's leftmost scan). Returns the learned merge list; pytest
-    pins it against a pure-Python reference implementation."""
+    bpe_pair_stats' shape); every training round then runs on the cached
+    vocab-sized symbol table — pair counts over |vocab| rows, one bounded
+    collect, and an in-array fold applying each merge left-to-right
+    non-overlapping (the fold's accumulator semantics are exactly BPE's
+    leftmost scan). Returns the learned merge list; pytest pins it against
+    a pure-Python reference implementation.
+
+    Driver-round-trip bound (VERDICT r4 task 8): the serial loop costs one
+    Spark job + one 1-row collect PER MERGE — V merges = V driver round
+    trips. Here each round collects the top-M stale counts once and accepts
+    up to `batch_m` merges off that snapshot via _safe_merge_batch (exact —
+    see its proof sketch), chaining the accepted folds in ONE job. Adjacent
+    high-count pairs still force small batches (correctly: their counts
+    interact), so the worst case stays V rounds; disjoint-heavy vocabs —
+    the common case — cut rounds by ~batch_m. `batch_m=1` IS the serial
+    loop. `stats`, when given, gets {"rounds": <collect count>} for tests
+    and capacity planning."""
     words = df.select(
         F.explode(tokens(F.col(text_col))).alias("_w")
     ).where(F.col("_w") != "")
@@ -846,9 +912,13 @@ def bpe_learn_merges(
     )
     vocab = vocab.persist()
     vocab.count()
+    # snapshot depth: room for batch_m accepts plus the adjacency scan the
+    # safety bound needs around each accepted pair
+    top_m = max(4 * batch_m, 16)
     merges: list[tuple[str, str]] = []
+    rounds = 0
     try:
-        for _ in range(n_merges):
+        while len(merges) < n_merges:
             pairs = vocab.select(
                 "_n",
                 F.explode(
@@ -865,33 +935,43 @@ def bpe_learn_merges(
                 pairs.groupBy("_p.a", "_p.b")
                 .agg(F.sum("_n").alias("_c"))
                 .orderBy(F.col("_c").desc(), F.col("a"), F.col("b"))
-                .limit(1)
+                .limit(top_m)
                 .collect()
             )
+            rounds += 1
             if not top:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            merged = a + b
-            apply_merge = F.aggregate(
-                F.col("_syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == a)
-                    & (s == b),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(merged)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
+            batch = _safe_merge_batch(
+                top, min(batch_m, n_merges - len(merges))
             )
-            nxt = vocab.select("_n", apply_merge.alias("_syms")).persist()
+            def _fold(col: Column, a: str, b: str) -> Column:
+                merged = a + b
+                return F.aggregate(
+                    col,
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == a)
+                        & (s == b),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                )
+
+            col = F.col("_syms")
+            for a, b, _ in batch:
+                merges.append((a, b))
+                col = _fold(col, a, b)
+            nxt = vocab.select("_n", col.alias("_syms")).persist()
             nxt.count()
             vocab.unpersist()
             vocab = nxt
     finally:
         vocab.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -32,6 +32,41 @@ def _sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def _loadavg() -> float:
+    """1-minute load average, or -1.0 where /proc/loadavg is unreadable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _wait_for_quiet() -> dict:
+    """Probe the 1-min loadavg BEFORE any Spark work starts and, when the
+    box looks contended (co-tenant load — r4's driver sweep landed in a
+    load-average-20 window and recorded a 5x-low headline), sleep and
+    re-probe a bounded number of times. Always proceeds after the last
+    attempt; the returned probe history goes into the bench JSON so a
+    contended record is self-adjudicating (VERDICT r4 task 1).
+
+    Tunables (env): SPARK_GRAFT_LOAD_THRESHOLD (default 8 — on a 32-core
+    box, ~25% of the budget stolen), SPARK_GRAFT_LOAD_ATTEMPTS (default 3),
+    SPARK_GRAFT_LOAD_WAIT seconds between probes (default 60).
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_LOAD_THRESHOLD", "8"))
+    attempts = int(os.environ.get("SPARK_GRAFT_LOAD_ATTEMPTS", "3"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+    probes = [_loadavg()]
+    while probes[-1] > threshold and len(probes) < attempts:
+        time.sleep(wait_s)
+        probes.append(_loadavg())
+    return {
+        "probes_before": probes,
+        "threshold": threshold,
+        "contended": probes[-1] > threshold,
+    }
+
+
 def run_headline(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int]:
     """End-to-end single-pass job: scan → parse → enrich → route → per-sink
     fan-out write, then per-sink aggregates + conv rollups computed FROM the
@@ -140,6 +175,8 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    load = _wait_for_quiet()
+
     from beats_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -157,7 +194,11 @@ def main() -> None:
     elapsed = min(elapsed, e2)
     headline_only = "--headline-only" in sys.argv
     qtimes = {} if headline_only else run_queries(spark, sf_dir)
+    # loadavg after the run counts our OWN task threads (a full 32-core run
+    # reads ~32); only probes_before measures co-tenant contention
+    load["after_own_run"] = _loadavg()
     print(json.dumps({
+        "loadavg": load,
         "metric": "end-to-end pipeline (parse→enrich→route→fanout→aggregate) wall sec",
         "value": round(elapsed, 3),
         "unit": "sec",

@@ -137,3 +137,64 @@ def test_when_guarded_drop_fields_restores_nonmatch(df):
         "conv_id string, turn_idx int, role string, text string, tool string",
     )
     assert prog(df2).first().tool == "search"
+
+
+# --- script-program composition surface (VERDICT r4 task 6) ----------------
+# The reference's chain module lets a script compose registered processors
+# (javascript/module/processor/chain.go); here `script: {processors: [...]}`
+# compiles the inner steps through the same registry — no JS engine.
+
+def test_script_chain_composes_registered_processors(df):
+    prog = compile_pipeline([
+        {"script": {"processors": [
+            {"dissect": {"tokenizer": "%{ip} %{verb} %{path}",
+                         "field": "text", "target_prefix": "d"}},
+            {"copy_fields": {"fields": [{"from": "d.verb", "to": "verb"}]}},
+            {"lowercase": {"fields": ["verb"]}},
+        ]}},
+        {"add_fields": {"fields": {"env": "prod"}, "target": None}},
+    ])
+    out = {r.conv_id + str(r.turn_idx): r for r in prog(df).collect()}
+    assert out["c10"].verb == "get" and out["c11"].verb == "post"
+    assert out["c10"].env == "prod"  # later top-level step sees chain writes
+
+
+def test_script_when_ands_into_each_inner_step(df):
+    # drop_event inside a when-guarded script: legal because the script's
+    # `when` ANDs per-step (the guarded chain never goes through the
+    # shape-preserving _conditional_apply stash path)
+    prog = compile_pipeline([
+        {"script": {
+            "when": {"equals": {"conv_id": "c2"}},
+            "processors": [
+                {"uppercase": {"fields": ["role"]}},
+                {"drop_event": {"when": {"equals": {"role": "SYSTEM"}}}},
+            ],
+        }},
+    ])
+    rows = {(r.conv_id, r.turn_idx): r for r in prog(df).collect()}
+    assert ("c2", 0) not in rows          # matched script cond -> dropped
+    assert rows[("c1", 0)].role == "user"  # untouched outside the guard
+    assert len(rows) == 2
+
+
+def test_script_nested_and_if_inside(df):
+    prog = compile_pipeline([
+        {"script": {"processors": [
+            {"if": {"equals": {"role": "system"}},
+             "then": [{"add_fields": {"fields": {"env": "sys"}, "target": None}}],
+             "else": [{"script": {"processors": [
+                 {"add_fields": {"fields": {"env": "app"}, "target": None}},
+             ]}}]},
+        ]}},
+    ])
+    out = {r.conv_id + str(r.turn_idx): r.env for r in prog(df).collect()}
+    assert out == {"c10": "app", "c11": "app", "c20": "sys"}
+
+
+def test_script_js_source_rejected_with_pointer(df):
+    with pytest.raises(CompileError, match="vectorized_script"):
+        compile_pipeline([{"script": {"lang": "javascript",
+                                      "source": "function process(e){}"}}])
+    with pytest.raises(CompileError, match="processors"):
+        compile_pipeline([{"script": {}}])

@@ -149,3 +149,114 @@ def test_checkpoint_new_job_restarts(spark, tmp_path):
     assert mB["job_id"] == "jobB"
     assert set(mA["sinks"]) == set(mB["sinks"])
     routed.unpersist()
+
+
+# --- Kafka FNV-32a partitioner parity (broker-free; VERDICT r4 task 5) ----
+#
+# Oracle: a pure-Python transcription of the Go algorithm — hash/fnv's
+# New32a (offset 2166136261, prime 16777619) folded over the key bytes as
+# hashFieldValue builds them (strings UTF-8, ints little-endian native
+# width), then hash2Partition's int32(h) & 0x7FFFFFFF % numPartitions
+# (libbeat/outputs/kafka/partition.go:220-318).
+
+def _go_fnv32a(data: bytes) -> int:
+    h = 2166136261
+    for b in data:
+        h ^= b
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def _go_partition(data: bytes, num_partitions: int) -> int:
+    return (_go_fnv32a(data) & 0x7FFFFFFF) % num_partitions
+
+
+def test_kafka_partition_string_key_parity(spark):
+    from beats_spark.scale import kafka_partition
+
+    keys = (
+        ["", "a", "ab", "abc", "conv-0007", "héllo wörld", "日本語キー",
+         "\x00\x01\x02", "x" * 300]
+        + [f"conv-{i:06d}" for i in range(100)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    for n in (1, 2, 3, 5, 12, 100):
+        got = {
+            r["k"]: r["p"]
+            for r in df.withColumn(
+                "p", kafka_partition(df, ["k"], n)
+            ).collect()
+        }
+        want = {k: _go_partition(k.encode("utf-8"), n) for k in keys}
+        assert got == want, f"num_partitions={n}"
+
+
+def test_kafka_partition_multi_field_and_int_key_parity(spark):
+    import struct
+
+    from beats_spark.scale import kafka_partition
+
+    rows = [(f"role-{i % 7}", i * 1_000_003 - 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "role string, turn bigint")
+    for n in (2, 7, 16):
+        got = [
+            r["p"]
+            for r in df.withColumn(
+                "p", kafka_partition(df, ["role", "turn"], n)
+            ).orderBy("turn").collect()
+        ]
+        want = [
+            _go_partition(
+                role.encode("utf-8") + struct.pack("<q", turn), n
+            )
+            for role, turn in sorted(rows, key=lambda r: r[1])
+        ]
+        assert got == want, f"num_partitions={n}"
+
+
+def test_kafka_partition_int_widths_match_go_binary_write(spark):
+    import struct
+
+    from beats_spark.scale import kafka_partition
+
+    df = spark.createDataFrame(
+        [(-2, -2, -2, -2), (100, 100, 100, 100)],
+        "b tinyint, s smallint, i int, l bigint",
+    )
+    for field, fmt in (("b", "<b"), ("s", "<h"), ("i", "<i"), ("l", "<q")):
+        got = [
+            r["p"]
+            for r in df.withColumn(
+                "p", kafka_partition(df, [field], 7)
+            ).orderBy(field).collect()
+        ]
+        want = [_go_partition(struct.pack(fmt, v), 7) for v in (-2, 100)]
+        assert got == want, field
+
+
+def test_kafka_partition_null_key_is_null_and_float_rejected(spark):
+    from beats_spark.scale import kafka_partition
+
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    rows = df.withColumn("p", kafka_partition(df, ["k"], 4)).collect()
+    by_key = {r["k"]: r["p"] for r in rows}
+    assert by_key["a"] is not None and by_key[None] is None
+    fdf = spark.createDataFrame([(1.5,)], "f double")
+    with pytest.raises(ValueError, match="unsupported key dtype"):
+        kafka_partition(fdf, ["f"], 4)
+
+
+def test_fan_out_kafka_partition_column(spark, tmp_path):
+    from beats_spark.routing import fan_out
+
+    df = spark.createDataFrame(
+        [("s1", "k1"), ("s1", "k2"), ("s2", "k1")], "_sink string, k string"
+    )
+    out = str(tmp_path / "sinks")
+    fan_out(df, out, kafka_key=["k"], kafka_partitions=6)
+    written = spark.read.parquet(out)
+    assert "_partition" in written.columns
+    got = {(r["k"], r["_partition"]) for r in written.collect()}
+    want_k1 = _go_partition(b"k1", 6)
+    want_k2 = _go_partition(b"k2", 6)
+    assert got == {("k1", want_k1), ("k2", want_k2), ("k1", want_k1)}

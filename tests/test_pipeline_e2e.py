@@ -152,3 +152,32 @@ def test_combined_aggregates_matches_separate(routed):
     sep_roll = conv_rollups(routed)
     assert rollups.exceptAll(sep_roll).count() == 0
     assert sep_roll.exceptAll(rollups).count() == 0
+
+
+def test_script_chain_routes_end_to_end(spark):
+    """parse (via a script-composed chain) → enrich → route → fan-out: the
+    script composition surface (compiler._compile_script) carries a real
+    pipeline, not just unit transforms."""
+    from beats_spark.compiler import compile_pipeline
+    from beats_spark.routing import route
+
+    df = load_transcripts(spark, SF_SMOKE)
+    prog = compile_pipeline([
+        {"script": {"processors": [
+            {"lowercase": {"fields": ["role"]}},
+            {"add_fields": {"fields": {"env": "prod"}, "target": None}},
+            {"drop_event": {"when": {"equals": {"role": "system"}}}},
+        ]}},
+    ])
+    routed = route(prog(df), [
+        {"when": {"equals": {"role": "assistant"}}, "key": "assistant"},
+        {"when": {"contains": {"role": "u"}}, "key": "user"},
+    ], default="other")
+    counts = {r["_sink"]: r["n"] for r in
+              routed.groupBy("_sink").agg(F.count("*").alias("n")).collect()}
+    base = {r["role"]: r["n"] for r in
+            df.groupBy("role").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("assistant", 0) == base.get("assistant", 0)
+    assert counts.get("user", 0) == base.get("user", 0)
+    assert "system" not in {r["role"] for r in routed.select("role").distinct().collect()}
+    assert routed.filter(F.col("env") != "prod").count() == 0

@@ -456,3 +456,14 @@ def test_url_canonical_single_shuffle(spark):
     assert nodes.count("Exchange") == 1
     assert nodes.count("HashAggregate") == 2
     assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+
+
+def test_kafka_partition_plan_udf_free_single_agg(spark):
+    # the FNV-32a fold must be pure Column expressions: no Python UDF node
+    # (would break the no-per-row-Python rule), and the whole query is one
+    # map pass + one 12-group aggregate
+    from beats_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES["kafka_partition"](spark, SF_SMOKE))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

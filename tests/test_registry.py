@@ -19,16 +19,22 @@ def test_window_is_the_first_fifty_and_fully_oracled():
     assert missing == [], missing
 
 
-def test_round3_tail_is_inside_the_window():
-    tail = [
+def test_unproven_and_changed_queries_are_inside_the_window():
+    must_be_in = [
+        # round-5 new or behavior-changed
+        "kafka_partition", "script_chain", "multiline",
+        # round-5 rotations: single-round-green (r3 only) before this round
+        "minhash_dedup", "minhash_dedup_cc", "ngram_jaccard_pairs",
+        "module_system_auth", "module_iis_error",
+        # single driver-green round (r4) so far
         "module_pensando_dfw", "module_redis_slowlog", "repetition_quality",
         "decontaminate", "gopher_filter", "pii_redact", "c4_clean",
-        "url_blocklist", "span_dedup", "stratified_sample", "pack_sequences",
-        "chunk_documents", "normalize_unicode", "curation_funnel",
-        "transcript_curation", "transcript_pack", "token_vocab",
-        "routed_rows", "tool_transitions", "conv_quality", "asof_enrich",
-        "interval_overlap", "state_intervals", "sink_cube", "conv_pattern",
-        "latency_quantiles", "cohort_retention",
+        "span_dedup", "chunk_documents", "normalize_unicode",
+        "curation_funnel", "transcript_curation", "transcript_pack",
+        "token_vocab", "routed_rows", "tool_transitions", "conv_quality",
+        "asof_enrich", "interval_overlap", "state_intervals", "sink_cube",
+        "conv_pattern", "latency_quantiles", "cohort_retention",
+        "dedup_components",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
@@ -36,7 +42,7 @@ def test_round3_tail_is_inside_the_window():
         "temperature_mix", "winnow_fingerprint", "url_canonical",
     ]
     window = set(list(Q.queries())[:50])
-    assert set(tail) <= window
+    assert set(must_be_in) <= window
 
 
 def test_outside_window_only_long_green_or_rows_only():
@@ -48,5 +54,6 @@ def test_outside_window_only_long_green_or_rows_only():
     # vector pinned in pytest)
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
-    # oracle coverage of the registry overall
-    assert len(names) == 88 and len(oracles) == 85
+    # oracle coverage of the registry overall (r5 adds kafka_partition +
+    # script_chain, both oracled)
+    assert len(names) == 90 and len(oracles) == 87
