@@ -128,10 +128,15 @@ def main() -> None:
         # what the pinned core budget can actually sustain.
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
         lo, hi = (int(c) for c in pair.split(","))
+        # co-tenant check ONCE here; legs get attempts=1 (annotate, never
+        # sleep) because a leg's 1-min loadavg includes decaying residue
+        # from the PREVIOUS leg's own burn — self-load, not contention
+        start_load = _wait_for_quiet()
 
         def one_leg(cores: int) -> dict:
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
-                       SPARK_GRAFT_REPLICATE=str(replicate))
+                       SPARK_GRAFT_REPLICATE=str(replicate),
+                       SPARK_GRAFT_LOAD_ATTEMPTS="1")
             # sink writes go to RAM-backed storage for BOTH legs: the box
             # has ONE shared disk whose variable bandwidth throttles the
             # faster leg (measured 45-124s swings at 16 cores); a real
@@ -161,7 +166,8 @@ def main() -> None:
             })
         best_lo = max(p[f"local{lo}"]["turns_per_sec"] for p in pairs)
         best_hi = max(p[f"local{hi}"]["turns_per_sec"] for p in pairs)
-        out: dict = {"sf_dir": sf_dir, "replicate": replicate}
+        out: dict = {"sf_dir": sf_dir, "replicate": replicate,
+                     "loadavg": start_load}
         if reps == 1:
             out.update(pairs[0])
         else:
