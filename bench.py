@@ -195,9 +195,14 @@ def main() -> None:
     # throughput, not first-query compile cost
     run_headline(spark, "/root/testdata/sf0.001")
     run_headline(spark, sf_dir, replicate=replicate)
+    # min over several reps: host noise only ever SUBTRACTS throughput
+    # (r4/r5 measured 2.5x swings minutes apart on identical code), so the
+    # fastest rep is the least-noisy estimate of engine throughput
+    heads = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
     elapsed, turns = run_headline(spark, sf_dir, replicate=replicate)
-    e2, _ = run_headline(spark, sf_dir, replicate=replicate)
-    elapsed = min(elapsed, e2)
+    for _ in range(max(0, heads - 1)):
+        e2, _ = run_headline(spark, sf_dir, replicate=replicate)
+        elapsed = min(elapsed, e2)
     headline_only = "--headline-only" in sys.argv
     qtimes = {} if headline_only else run_queries(spark, sf_dir)
     # loadavg after the run counts our OWN task threads (a full 32-core run
