@@ -467,3 +467,18 @@ def test_kafka_partition_plan_udf_free_single_agg(spark):
     plan = _formatted_plan(QUERIES["kafka_partition"](spark, SF_SMOKE))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_script_chain_plan_stays_column_level(spark):
+    # the script-program composition surface chains REGISTERED operators
+    # (uppercase/copy_fields/drop_event are all Column-level), so compiling
+    # them through a `script: {processors: [...]}` block must not introduce
+    # a Python eval node or an extra shuffle: one exchange (the role_u
+    # groupBy) with a partial aggregate below it, plus the derivation
+    # window's exchange from load_transcripts at smoke SF
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["script_chain"](spark, SF_SMOKE)))
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+    assert "CartesianProduct" not in nodes
+    assert nodes.count("HashAggregate") == 2
