@@ -149,11 +149,27 @@ def main() -> None:
                 if shutil.which("taskset")
                 else []
             )
-            out = subprocess.run(
-                pin + [sys.executable, __file__, "--headline-only"],
-                env=env, capture_output=True, text=True, check=True,
-            )
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            # one retry: a leg is a whole fresh-JVM Spark run, and a
+            # transient host event (OOM-killed co-tenant burst, JVM fork
+            # failure) aborts it with exit 1; without surfacing the child's
+            # stderr the outer CalledProcessError is undiagnosable (r5
+            # scaling run 4 died exactly this way, log showed only the
+            # outer traceback)
+            last_err = ""
+            for attempt in range(2):
+                out = subprocess.run(
+                    pin + [sys.executable, __file__, "--headline-only"],
+                    env=env, capture_output=True, text=True,
+                )
+                if out.returncode == 0:
+                    return json.loads(out.stdout.strip().splitlines()[-1])
+                last_err = out.stderr[-4000:]
+                print(f"scaling leg local[{cores}] attempt {attempt + 1} "
+                      f"failed (exit {out.returncode}); stderr tail:\n"
+                      f"{last_err}", file=sys.stderr)
+            raise RuntimeError(
+                f"scaling leg local[{cores}] failed twice; last stderr "
+                f"tail: {last_err}")
 
         pairs = []
         for _ in range(reps):
