@@ -46,8 +46,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Fail loudly on a bad invocation: a mistyped sf_dir (or a flag-style
+    # arg landing in the positional slot) used to fall through to an empty
+    # run that exited 0 — indistinguishable from a green sweep.
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir {sf_dir!r} is not a directory "
+              f"(usage: check_oracle.py [sf_dir] [query ...])")
+        return 2
+
     import __spark_entry__ as entrymod
     from beats_spark.session import get_spark
+
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
 
     spark = get_spark(app_name="check-oracle")
     con = duckdb.connect()
