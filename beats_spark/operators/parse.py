@@ -665,7 +665,14 @@ def decode_duration(
         if suffix == "m":
             pat = r"(\d+(?:\.\d+)?)m(?![s])"
         elif suffix == "s":
-            pat = r"(?<![mun])(\d+(?:\.\d+)?)s"
+            # Digits IMMEDIATELY followed by a bare 's' can only be the
+            # seconds component (ms/us/ns all have a letter between the
+            # digits and their trailing 's'), so no lookbehind is needed.
+            # A lookbehind like (?<![mun]) is actively WRONG here: on
+            # '1m30s' it rejects the match starting at '3' (preceded by
+            # 'm') and the engine then matches '0s' — extracting 0
+            # seconds instead of 30 (and None for single-digit '1m3s').
+            pat = r"(\d+(?:\.\d+)?)s(?![a-z])"
         else:
             pat = rf"(\d+(?:\.\d+)?){suffix}(?![a-z])" if suffix != "ns" else r"(\d+(?:\.\d+)?)ns"
         comp = F.regexp_extract(c, pat, 1)

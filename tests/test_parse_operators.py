@@ -133,10 +133,20 @@ def test_convert_and_ip_validation(spark):
 
 
 def test_decode_duration(spark):
-    df = spark.createDataFrame([("1h30m",), ("250ms",), ("2s",)], "d string")
+    df = spark.createDataFrame(
+        [("1h30m",), ("250ms",), ("2s",),
+         # regression: seconds directly preceded by a minutes component —
+         # the old (?<![mun]) lookbehind extracted 0 ('1m30s') or nothing
+         # ('1m3s') instead of the real seconds value
+         ("1m30s",), ("1m3s",), ("4h59m30s997ms",), ("1.5s",)],
+        "d string",
+    )
     out = df.transform(lambda d: P.decode_duration(d, "d", "ms_val", unit="ms"))
     vals = [r.ms_val for r in out.collect()]
-    assert vals == [5400000.0, 250.0, 2000.0]
+    assert vals == [5400000.0, 250.0, 2000.0,
+                    90000.0, 63000.0,
+                    4 * 3600000.0 + 59 * 60000.0 + 30000.0 + 997.0,
+                    1500.0]
 
 
 def test_extract_and_base64(spark):

@@ -482,3 +482,42 @@ def test_script_chain_plan_stays_column_level(spark):
     assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
     assert "CartesianProduct" not in nodes
     assert nodes.count("HashAggregate") == 2
+
+
+def test_r5_operator_promotions_stay_jvm_side(spark):
+    """csv_extract / duration_parse / kv_parse / url_codec: the split /
+    regexp / map_from_entries / url codec operators are pure Column
+    expressions — the per-row queries carry NO Python eval node and no
+    join; the only exchange is the transcript derivation window."""
+    from beats_spark.queries import QUERIES
+
+    for name in ["csv_extract", "duration_parse", "kv_parse", "url_codec"]:
+        nodes = _nodes(_formatted_plan(QUERIES[name](spark, SF_SMOKE)))
+        assert "BatchEvalPython" not in nodes, name
+        assert "ArrowEvalPython" not in nodes, name
+        assert "SortMergeJoin" not in nodes and "CartesianProduct" not in nodes, name
+        # derivation window's exchange only — the operators themselves are
+        # map-side
+        assert nodes.count("Exchange") <= 1, name
+
+
+def test_mime_detect_sniffs_in_codegen(spark):
+    """detect_media_type is a hex-prefix CASE — codegen, not Python. The
+    only Python node is synthesize_media's builder (mapInPandas by
+    design); one exchange for the mime groupBy."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["mime_detect"](spark, SF_SMOKE)))
+    assert nodes.count("ArrowEvalPython") + nodes.count("MapInPandas") == 1
+    assert nodes.count("Exchange") == 1
+    assert nodes.count("HashAggregate") == 2  # partial + final
+
+
+def test_cache_enrich_broadcasts_the_cache(spark):
+    """cache_get must broadcast the (tiny) cache table — never shuffle the
+    probe side into a sort-merge join."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["cache_enrich"](spark, SF_SMOKE)))
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes

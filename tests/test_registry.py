@@ -21,19 +21,31 @@ def test_window_is_the_first_fifty_and_fully_oracled():
 
 def test_unproven_and_changed_queries_are_inside_the_window():
     must_be_in = [
+        # round-5 new (pytest-only operators promoted to driver oracles,
+        # incl. the decode_duration seconds-regex regression) — zero
+        # driver-green history, MUST be verified this round
+        "csv_extract", "duration_parse", "kv_parse", "mime_detect",
+        "url_codec", "formatted_index", "cache_enrich", "stage_metrics",
         # round-5 new or behavior-changed
         "kafka_partition", "script_chain", "multiline",
         # round-5 rotations: single-round-green (r3 only) before this round
         "minhash_dedup", "minhash_dedup_cc", "ngram_jaccard_pairs",
         "module_system_auth", "module_iis_error",
-        # single driver-green round (r4) so far
-        "module_pensando_dfw", "module_redis_slowlog", "repetition_quality",
+        # single driver-green round (r4) so far; seven of the r3-tail rows
+        # (tool_transitions, conv_quality, interval_overlap,
+        # cohort_retention, curation_funnel, token_vocab,
+        # normalize_unicode — plus module_redis_slowlog for stage_metrics,
+        # keeping three grok-bank modules in-window) rotated out for the
+        # eight new round-5 queries
+        # above — each displaced row carries r4 driver-green PLUS judge
+        # sf0.001 oracle sweeps in both r3 and r4, the strongest evidence
+        # of any non-flagship row, and family coverage stays in-window
+        # (see the _DRIVER_WINDOW comment in queries.py)
+        "module_pensando_dfw", "repetition_quality",
         "decontaminate", "gopher_filter", "pii_redact", "c4_clean",
-        "span_dedup", "chunk_documents", "normalize_unicode",
-        "curation_funnel", "transcript_curation", "transcript_pack",
-        "token_vocab", "routed_rows", "tool_transitions", "conv_quality",
-        "asof_enrich", "interval_overlap", "state_intervals", "sink_cube",
-        "conv_pattern", "latency_quantiles", "cohort_retention",
+        "span_dedup", "transcript_curation", "transcript_pack",
+        "routed_rows", "asof_enrich", "state_intervals", "sink_cube",
+        "conv_pattern", "latency_quantiles", "chunk_documents",
         "dedup_components",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
@@ -55,5 +67,6 @@ def test_outside_window_only_long_green_or_rows_only():
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
     # oracle coverage of the registry overall (r5 adds kafka_partition +
-    # script_chain, both oracled)
-    assert len(names) == 90 and len(oracles) == 87
+    # script_chain + the eight pytest-only-operator promotions (incl.
+    # stage_metrics, the lineage manifest), all oracled)
+    assert len(names) == 98 and len(oracles) == 95
