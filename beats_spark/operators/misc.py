@@ -265,6 +265,22 @@ def decompress_gzip_field(df: DataFrame, field: str, target: str | None = None,
     return df.withColumn(target or field, gunzip(F.col(field)))
 
 
+def compress_gzip_field(df: DataFrame, field: str, target: str | None = None,
+                        mtime: int = 0) -> DataFrame:
+    """Gzip a string column (test/roundtrip twin of decompress_gzip_field —
+    the reference ships only the decompressor). mtime is pinned to 0 so the
+    output bytes are deterministic across runs and engines."""
+
+    @F.pandas_udf(T.BinaryType())
+    def gz(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None if t is None
+            else gzip.compress(t.encode("utf-8"), mtime=mtime)
+        )
+
+    return df.withColumn(target or field, gz(F.col(field)))
+
+
 def move_fields(df: DataFrame, fields: list[str], from_prefix: str,
                 to_prefix: str) -> DataFrame:
     """Re-parent struct fields from one prefix to another

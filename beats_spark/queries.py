@@ -4324,6 +4324,190 @@ def q_stage_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "winlog_parse",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       CAST(4624 + turn_idx % 3 AS VARCHAR) AS event_code,
+       'event' AS event_kind,
+       role AS event_provider,
+       'None' AS event_action,
+       printf('host-%d', turn_idx % 5) AS host_name,
+       CASE WHEN turn_idx % 2 = 0 THEN 'success' ELSE 'failure' END
+         AS event_outcome,
+       CASE CAST(turn_idx % 6 AS INT)
+         WHEN 1 THEN 'critical' WHEN 2 THEN 'error' WHEN 3 THEN 'warning'
+         WHEN 5 THEN 'verbose' ELSE 'information' END AS log_level,
+       CAST(turn_idx AS BIGINT) AS record_id,
+       CAST(100 + turn_idx % 7 AS BIGINT) AS pid,
+       role AS target_user
+FROM transcripts
+""",
+)
+def q_winlog_parse(spark, sf_dir):
+    """decode_xml_wineventlog through the driver gate (reference:
+    decode_xml_wineventlog/processor.go:99-163 + the winmeta fallback
+    tables, winlogbeat/sys/winevent/winmeta.go:30-63). A Windows Event
+    XML document is synthesized per turn with printf (level cycling all
+    six raw values, keywords alternating AUDIT_SUCCESS/AUDIT_FAILURE,
+    Task=0 -> 'None'); the decoder's vectorized XML walk plus the ECS
+    projection is then checked field-by-field against the oracle's
+    re-derivation from the same integer arithmetic — level table, outcome
+    mask, ECS mirrors and EventData map all value-checked."""
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    t = t.withColumn(
+        "evt_xml",
+        F.expr(
+            """printf(
+  '<Event xmlns="http://schemas.microsoft.com/win/2004/08/events/event"><System><Provider Name="%s" Guid="{11111111-2222-3333-4444-555555555555}"/><EventID>%d</EventID><Version>2</Version><Level>%d</Level><Task>0</Task><Keywords>%s</Keywords><TimeCreated SystemTime="2024-01-01T00:00:00Z"/><EventRecordID>%d</EventRecordID><Execution ProcessID="%d" ThreadID="%d"/><Channel>Security</Channel><Computer>host-%d</Computer></System><EventData><Data Name="TargetUserName">%s</Data></EventData></Event>',
+  role, 4624 + turn_idx % 3, turn_idx % 6,
+  CASE WHEN turn_idx % 2 = 0 THEN '0x8020000000000000'
+       ELSE '0x8010000000000000' END,
+  turn_idx, 100 + turn_idx % 7, 200 + turn_idx % 11, turn_idx % 5, role)"""
+        ),
+    )
+    t = P.decode_xml_wineventlog(t, "evt_xml")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "event_code",
+        "event_kind",
+        "event_provider",
+        "event_action",
+        "host_name",
+        "event_outcome",
+        "log_level",
+        F.col("winlog")["record_id"].alias("record_id"),
+        F.col("winlog")["process_pid"].alias("pid"),
+        F.col("winlog")["event_data"]["TargetUserName"].alias("target_user"),
+    )
+
+
+@register(
+    "gzip_roundtrip",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       role || '|' || CAST(turn_idx AS VARCHAR) || '|' || text AS decoded,
+       TRUE AS bad_is_null
+FROM transcripts
+""",
+)
+def q_gzip_roundtrip(spark, sf_dir):
+    """decompress_gzip_field through the driver gate (reference:
+    decode/decompress_gzip_field — same inverse-construction pattern as
+    codec_roundtrip: DuckDB cannot gzip, so the oracle recomputes the
+    PLAINTEXT and the query proves compress->decompress returns it
+    byte-for-byte). The failure path is value-checked too: feeding the
+    raw UTF-8 text bytes (no gzip magic) must yield NULL under
+    ignore_failure. Compression is mtime=0 so the bytes are deterministic;
+    both UDFs are Arrow-batched pandas UDFs."""
+    from beats_spark.operators.misc import (
+        compress_gzip_field,
+        decompress_gzip_field,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    t = t.withColumn(
+        "plain", F.format_string("%s|%d|%s", "role", "turn_idx", "text")
+    )
+    t = compress_gzip_field(t, "plain", target="gz_bytes")
+    t = decompress_gzip_field(t, "gz_bytes", target="decoded")
+    t = decompress_gzip_field(
+        t.withColumn("not_gzip", F.col("text").cast("binary")),
+        "not_gzip",
+        target="bad",
+    )
+    return t.select(
+        "conv_id", "turn_idx", "decoded", F.isnull("bad").alias("bad_is_null")
+    )
+
+
+@register(
+    "field_projection",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       '{"role":"' || role || '"}' AS meta_json,
+       CAST(turn_idx * 2 AS BIGINT) AS keepme
+FROM transcripts
+""",
+)
+def q_field_projection(spark, sf_dir):
+    """drop_fields (regex entry + nested dot-path) + include_fields +
+    move_fields through the driver gate (reference: drop_fields.go:78-90,
+    include_fields.go:44-91, move_fields.go:40-44). role/tool move into a
+    `meta` struct, the '/^tmp_/' regex drops both scratch columns, the
+    nested 'meta.tool' entry shrinks the struct via dropFields, and
+    include_fields projects the final column set. to_json(meta) proves
+    the struct holds EXACTLY {role} — a surviving tool field would change
+    the JSON. Pure Column ops, no Python, no shuffle beyond the transcript
+    derivation window."""
+    from beats_spark.operators.filter import drop_fields, include_fields
+    from beats_spark.operators.misc import move_fields
+
+    t = load_transcripts(spark, sf_dir)
+    t = (
+        t.withColumn("tmp_len", F.length("text"))
+        .withColumn("tmp_upper", F.upper("role"))
+        .withColumn("keepme", (F.col("turn_idx") * 2).cast("long"))
+    )
+    t = move_fields(t, ["role", "tool"], from_prefix="", to_prefix="meta")
+    t = drop_fields(t, ["/^tmp_/", "meta.tool"])
+    t = include_fields(t, ["conv_id", "turn_idx", "meta", "keepme"])
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.to_json("meta").alias("meta_json"),
+        "keepme",
+    )
+
+
+@register(
+    "metadata_stamp",
+    oracle_cte()
+    + """
+SELECT role, tool, count(*) AS n,
+       CAST(1 AS BIGINT) AS n_inst,
+       'UTC' AS tz,
+       'logs-transcripts-prod' AS ds,
+       (SELECT count(*) FROM (SELECT DISTINCT role, tool FROM transcripts))
+         AS n_inst_total
+FROM transcripts
+GROUP BY role, tool
+""",
+)
+def q_metadata_stamp(spark, sf_dir):
+    """add_locale + add_data_stream + timeseries instance through the
+    driver gate (reference: add_locale.go:62, add_data_stream.go:40-90,
+    timeseries/timeseries.go:39-41). The instance hash has no DuckDB
+    twin (xxhash64), so the oracle checks its CONTRACT instead: a pure
+    function of the dimension fields — exactly one distinct instance per
+    (role, tool) group (n_inst), and globally as many instances as there
+    are distinct dimension pairs (n_inst_total), i.e. deterministic AND
+    collision-free on this domain. The data-stream routing string and
+    locale constants are value-checked directly. The global count rides
+    in on a broadcast nested-loop join of a 1-row aggregate — no second
+    pass shuffle."""
+    from beats_spark.operators import enrich as EE
+
+    t = load_transcripts(spark, sf_dir)
+    t = EE.add_locale(t)
+    t = EE.add_data_stream(t, "logs", "transcripts", "prod")
+    t = EE.timeseries_instance(t, ["role", "tool"], target="inst")
+    per_group = t.groupBy("role", "tool").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("inst").alias("n_inst"),
+        F.first("event_timezone").alias("tz"),
+        F.first("_meta_raw_index").alias("ds"),
+    )
+    total = t.agg(F.count_distinct("inst").alias("n_inst_total"))
+    return per_group.crossJoin(F.broadcast(total))
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -4355,7 +4539,8 @@ _DRIVER_WINDOW = [
     # Family coverage retained in-window: conv windows by conv_pattern +
     # latency_quantiles; intervals by state_intervals; funnels/rollups by
     # transcript_curation + sink_cube; token stats by bpe_pairs +
-    # transcript_pack; text normalization by c4_clean + pii_redact.
+    # transcript_pack; text normalization by c4_clean (+ gopher_filter /
+    # repetition_quality for the quality family).
     "csv_extract",
     "duration_parse",
     "kv_parse",
@@ -4369,14 +4554,30 @@ _DRIVER_WINDOW = [
     # representatives: module_pensando_dfw, module_system_auth,
     # module_iis_error, plus apache/kafka right behind the window)
     "stage_metrics",
+    # final round-5 batch: four more pytest-only rows promoted to driver
+    # oracles — decode_xml_wineventlog (winlog_parse), decompress_gzip_field
+    # (gzip_roundtrip — compress twin added for the inverse construction),
+    # drop/include/move_fields (field_projection), and add_locale +
+    # add_data_stream + timeseries instance (metadata_stamp). These have
+    # ZERO driver history, so they displace four r4-single-green rows whose
+    # families keep in-window representatives: pii_redact (cleaning family:
+    # c4_clean + gopher_filter + repetition_quality), span_dedup (dedup
+    # family: substr_dedup + minhash_dedup(+_cc) + ngram_jaccard_pairs +
+    # dedup_components), rrf_search (retrieval family: bm25_search),
+    # temperature_mix (sampling family: stratified_topn + dsir_select +
+    # perplexity_filter). Each displaced row is r4 driver-green + judge
+    # r4 sf0.001 sweep, the same pass* evidence class the other rotated
+    # rows carry.
+    "winlog_parse",
+    "gzip_roundtrip",
+    "field_projection",
+    "metadata_stamp",
     # round-3 tail: driver-unverified until r4 (judge-green only)
     "module_pensando_dfw",
     "repetition_quality",
     "decontaminate",
     "gopher_filter",
-    "pii_redact",
     "c4_clean",
-    "span_dedup",
     "transcript_curation",
     "transcript_pack",
     "asof_enrich",
@@ -4394,9 +4595,7 @@ _DRIVER_WINDOW = [
     # newest in round 4: ExactSubstr token-window dedup, RRF hybrid
     # retrieval, BPE merge-selection stats
     "substr_dedup",
-    "rrf_search",
     "bpe_pairs",
-    "temperature_mix",
     "winnow_fingerprint",
     "url_canonical",
     # round-5 rotation (VERDICT r4 task 2): the five queries with only ONE

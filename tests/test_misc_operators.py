@@ -168,6 +168,19 @@ def test_decompress_gzip_field(spark):
     assert out[2].text is None
 
 
+def test_compress_gzip_field_roundtrip_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("round trips fine",), ("",), (None,)], "t string"
+    )
+    out = MISC.compress_gzip_field(df, "t", target="blob")
+    back = MISC.decompress_gzip_field(out, "blob", target="t2").collect()
+    assert [r.t2 for r in back] == ["round trips fine", "", None]
+    # mtime=0 pins the gzip header — byte-identical to a local compress
+    assert bytes(back[0].blob) == gzip.compress(
+        b"round trips fine", mtime=0
+    )
+
+
 def test_move_fields_between_structs(spark):
     df = spark.createDataFrame([(1,)], "id int")
     df = df.withColumn("a", F.struct(F.lit("x").alias("p"), F.lit("y").alias("q")))

@@ -513,6 +513,30 @@ def test_mime_detect_sniffs_in_codegen(spark):
     assert nodes.count("HashAggregate") == 2  # partial + final
 
 
+def test_field_projection_stays_column_level(spark):
+    """move_fields/drop_fields/include_fields are pure struct/column
+    surgery — no Python eval, no join, only the derivation window's
+    exchange."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["field_projection"](spark, SF_SMOKE)))
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+    assert "SortMergeJoin" not in nodes and "CartesianProduct" not in nodes
+    assert nodes.count("Exchange") <= 1
+
+
+def test_metadata_stamp_broadcasts_the_global_count(spark):
+    """The 1-row global distinct-instance aggregate must ride in on a
+    broadcast nested-loop join — never a shuffle of the per-group side —
+    and the instance hash is codegen (xxhash64), not Python."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["metadata_stamp"](spark, SF_SMOKE)))
+    assert "BroadcastNestedLoopJoin" in nodes
+    assert "SortMergeJoin" not in nodes and "CartesianProduct" not in nodes
+    assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
+
+
 def test_cache_enrich_broadcasts_the_cache(spark):
     """cache_get must broadcast the (tiny) cache table — never shuffle the
     probe side into a sort-merge join."""

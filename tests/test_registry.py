@@ -26,6 +26,8 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         # driver-green history, MUST be verified this round
         "csv_extract", "duration_parse", "kv_parse", "mime_detect",
         "url_codec", "formatted_index", "cache_enrich", "stage_metrics",
+        "winlog_parse", "gzip_roundtrip", "field_projection",
+        "metadata_stamp",
         # round-5 new or behavior-changed
         "kafka_partition", "script_chain", "multiline",
         # round-5 rotations: single-round-green (r3 only) before this round
@@ -41,17 +43,21 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         # sf0.001 oracle sweeps in both r3 and r4, the strongest evidence
         # of any non-flagship row, and family coverage stays in-window
         # (see the _DRIVER_WINDOW comment in queries.py)
+        # (pii_redact / span_dedup / rrf_search / temperature_mix rotated
+        # out late in r5 for the four newest zero-history promotions —
+        # each displaced row is r4 driver-green + judge r4 sweep, with
+        # family coverage retained in-window; see _DRIVER_WINDOW comment)
         "module_pensando_dfw", "repetition_quality",
-        "decontaminate", "gopher_filter", "pii_redact", "c4_clean",
-        "span_dedup", "transcript_curation", "transcript_pack",
+        "decontaminate", "gopher_filter", "c4_clean",
+        "transcript_curation", "transcript_pack",
         "routed_rows", "asof_enrich", "state_intervals", "sink_cube",
         "conv_pattern", "latency_quantiles", "chunk_documents",
         "dedup_components",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
-        "perplexity_filter", "substr_dedup", "rrf_search", "bpe_pairs",
-        "temperature_mix", "winnow_fingerprint", "url_canonical",
+        "perplexity_filter", "substr_dedup", "bpe_pairs",
+        "winnow_fingerprint", "url_canonical",
     ]
     window = set(list(Q.queries())[:50])
     assert set(must_be_in) <= window
@@ -67,6 +73,8 @@ def test_outside_window_only_long_green_or_rows_only():
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
     # oracle coverage of the registry overall (r5 adds kafka_partition +
-    # script_chain + the eight pytest-only-operator promotions (incl.
-    # stage_metrics, the lineage manifest), all oracled)
-    assert len(names) == 98 and len(oracles) == 95
+    # script_chain + twelve pytest-only-operator promotions (incl.
+    # stage_metrics, the lineage manifest, and the late batch
+    # winlog_parse / gzip_roundtrip / field_projection / metadata_stamp),
+    # all oracled)
+    assert len(names) == 102 and len(oracles) == 99
