@@ -4508,6 +4508,103 @@ def q_metadata_stamp(spark, sf_dir):
     return per_group.crossJoin(F.broadcast(total))
 
 
+@register(
+    "container_parse",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       printf('line-%s-%d', role, turn_idx) AS msg,
+       CASE WHEN turn_idx % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       CASE WHEN turn_idx % 2 = 0 THEN '2024-01-06T00:17:09.000000000Z'
+            ELSE '2024-01-06T00:17:09.669794202Z' END AS ts_raw
+FROM transcripts
+""",
+)
+def q_container_parse(spark, sf_dir):
+    """Container log parser through the driver gate (filebeat's `container`
+    input: docker json-file + CRI-O, libbeat/reader/parser/parser.go:91-130).
+    Even turns synthesize a docker json-file line ({"log":...,"stream":
+    "stdout","time":...}), odd turns a CRI-O line ('<ts> stderr F <log>');
+    fmt='auto' must route each through the right branch (from_json vs the
+    CRI grok) and the oracle re-derives all three extracted fields from
+    the same arithmetic. JVM-side from_json + regexp — no Python."""
+    from beats_spark.operators.misc import container
+
+    t = load_transcripts(spark, sf_dir)
+    t = t.withColumn(
+        "raw_line",
+        F.when(
+            F.col("turn_idx") % 2 == 0,
+            F.format_string(
+                '{"log":"line-%s-%d","stream":"stdout",'
+                '"time":"2024-01-06T00:17:09.000000000Z"}',
+                "role",
+                "turn_idx",
+            ),
+        ).otherwise(
+            F.format_string(
+                "2024-01-06T00:17:09.669794202Z stderr F line-%s-%d",
+                "role",
+                "turn_idx",
+            )
+        ),
+    )
+    t = container(t, field="raw_line", fmt="auto")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.col("container")["message"].alias("msg"),
+        F.col("container")["stream"].alias("stream"),
+        F.col("container")["ts_raw"].alias("ts_raw"),
+    )
+
+
+@register(
+    "event_stamp",
+    oracle_cte()
+    + """
+SELECT conv_id, turn_idx,
+       'prod' AS f_env, 'engine' AS f_svc, '5' AS f_ver,
+       'data' AS l_team, 'gold' AS l_tier, 'a,b' AS l_zones,
+       'beats,extra,prod' AS tags_sorted,
+       'x,' || role AS related
+FROM transcripts
+""",
+)
+def q_event_stamp(spark, sf_dir):
+    """The constant-stamp enrich family through the driver gate:
+    add_fields DeepUpdate merge (actions/addfields/add_fields.go:40-103 +
+    event.go:125-133 — second call's new keys win, first call's
+    untouched keys survive), add_labels flattening (add_labels.go:36-44:
+    nested dicts dot-flatten, lists comma-join), add_tags dedup union
+    (add_tags.go:38-47 — 'beats' appended twice lands once), and append
+    (append.go:37-43: constants + another field's value). All pure
+    Column literals/array ops; the oracle re-states every stamp."""
+    from beats_spark.operators import enrich as EE
+
+    t = load_transcripts(spark, sf_dir)
+    t = EE.add_fields(t, {"env": "prod", "svc": "beats-spark"}, target="fields")
+    t = EE.add_fields(t, {"svc": "engine", "ver": "5"}, target="fields")
+    t = EE.add_labels(
+        t, {"team": "data", "tier": {"name": "gold"}, "zones": ["a", "b"]}
+    )
+    t = EE.add_tags(t, ["prod", "beats"])
+    t = EE.add_tags(t, ["beats", "extra"])
+    t = EE.append_fields(t, "related", values=["x"], fields=["role"])
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.col("fields")["env"].alias("f_env"),
+        F.col("fields")["svc"].alias("f_svc"),
+        F.col("fields")["ver"].alias("f_ver"),
+        F.col("labels")["team"].alias("l_team"),
+        F.col("labels")["tier_name"].alias("l_tier"),
+        F.col("labels")["zones"].alias("l_zones"),
+        F.array_join(F.array_sort("tags"), ",").alias("tags_sorted"),
+        F.array_join("related", ",").alias("related"),
+    )
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -4572,6 +4669,16 @@ _DRIVER_WINDOW = [
     "gzip_roundtrip",
     "field_projection",
     "metadata_stamp",
+    # …and the last two: container log parser (docker json-file + CRI-O
+    # through fmt='auto') and the constant-stamp enrich family
+    # (add_fields DeepUpdate / add_labels flatten / add_tags dedup /
+    # append). Displaced: url_canonical (url family in-window via
+    # url_codec; url_blocklist outside, judge-swept) and
+    # latency_quantiles (conv-window family in-window via conv_pattern +
+    # state_intervals + sink_cube; turn_latency outside is triple-green).
+    # Both displaced rows are r4 driver-green + judge r4 sweep.
+    "container_parse",
+    "event_stamp",
     # round-3 tail: driver-unverified until r4 (judge-green only)
     "module_pensando_dfw",
     "repetition_quality",
@@ -4584,7 +4691,6 @@ _DRIVER_WINDOW = [
     "state_intervals",
     "sink_cube",
     "conv_pattern",
-    "latency_quantiles",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
     # sampling, CCNet perplexity head
     "dsir_select",
@@ -4597,7 +4703,6 @@ _DRIVER_WINDOW = [
     "substr_dedup",
     "bpe_pairs",
     "winnow_fingerprint",
-    "url_canonical",
     # round-5 rotation (VERDICT r4 task 2): the five queries with only ONE
     # round of driver-green history (r3) come back through the window —
     # minhash_dedup / minhash_dedup_cc / ngram_jaccard_pairs /

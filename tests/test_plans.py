@@ -537,6 +537,22 @@ def test_metadata_stamp_broadcasts_the_global_count(spark):
     assert "BatchEvalPython" not in nodes and "ArrowEvalPython" not in nodes
 
 
+def test_container_and_stamp_queries_stay_vectorized(spark):
+    """event_stamp is pure Column expressions (no Python at all);
+    container_parse's docker branch is from_json but its CRI branch rides
+    the grok bank — exactly ONE fused Arrow UDF, never row-at-a-time
+    Python. Neither query joins or shuffles beyond the derivation
+    window's exchange."""
+    from beats_spark.queries import QUERIES
+
+    for name, arrow_budget in [("container_parse", 1), ("event_stamp", 0)]:
+        nodes = _nodes(_formatted_plan(QUERIES[name](spark, SF_SMOKE)))
+        assert "BatchEvalPython" not in nodes, name
+        assert nodes.count("ArrowEvalPython") <= arrow_budget, name
+        assert "SortMergeJoin" not in nodes and "CartesianProduct" not in nodes, name
+        assert nodes.count("Exchange") <= 1, name
+
+
 def test_cache_enrich_broadcasts_the_cache(spark):
     """cache_get must broadcast the (tiny) cache table — never shuffle the
     probe side into a sort-merge join."""

@@ -27,7 +27,7 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         "csv_extract", "duration_parse", "kv_parse", "mime_detect",
         "url_codec", "formatted_index", "cache_enrich", "stage_metrics",
         "winlog_parse", "gzip_roundtrip", "field_projection",
-        "metadata_stamp",
+        "metadata_stamp", "container_parse", "event_stamp",
         # round-5 new or behavior-changed
         "kafka_partition", "script_chain", "multiline",
         # round-5 rotations: single-round-green (r3 only) before this round
@@ -43,21 +43,22 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         # sf0.001 oracle sweeps in both r3 and r4, the strongest evidence
         # of any non-flagship row, and family coverage stays in-window
         # (see the _DRIVER_WINDOW comment in queries.py)
-        # (pii_redact / span_dedup / rrf_search / temperature_mix rotated
-        # out late in r5 for the four newest zero-history promotions —
-        # each displaced row is r4 driver-green + judge r4 sweep, with
-        # family coverage retained in-window; see _DRIVER_WINDOW comment)
+        # (pii_redact / span_dedup / rrf_search / temperature_mix /
+        # url_canonical / latency_quantiles rotated out late in r5 for the
+        # six newest zero-history promotions — each displaced row is r4
+        # driver-green + judge r4 sweep, with family coverage retained
+        # in-window; see _DRIVER_WINDOW comment)
         "module_pensando_dfw", "repetition_quality",
         "decontaminate", "gopher_filter", "c4_clean",
         "transcript_curation", "transcript_pack",
         "routed_rows", "asof_enrich", "state_intervals", "sink_cube",
-        "conv_pattern", "latency_quantiles", "chunk_documents",
+        "conv_pattern", "chunk_documents",
         "dedup_components",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
         "perplexity_filter", "substr_dedup", "bpe_pairs",
-        "winnow_fingerprint", "url_canonical",
+        "winnow_fingerprint",
     ]
     window = set(list(Q.queries())[:50])
     assert set(must_be_in) <= window
@@ -73,8 +74,8 @@ def test_outside_window_only_long_green_or_rows_only():
     assert sorted(rows_only) == ["ann_ivf_topk", "ann_lsh_topk",
                                  "community_id"]
     # oracle coverage of the registry overall (r5 adds kafka_partition +
-    # script_chain + twelve pytest-only-operator promotions (incl.
-    # stage_metrics, the lineage manifest, and the late batch
-    # winlog_parse / gzip_roundtrip / field_projection / metadata_stamp),
-    # all oracled)
-    assert len(names) == 102 and len(oracles) == 99
+    # script_chain + fourteen pytest-only-operator promotions (incl.
+    # stage_metrics, the lineage manifest, and the late batches
+    # winlog_parse / gzip_roundtrip / field_projection / metadata_stamp /
+    # container_parse / event_stamp), all oracled)
+    assert len(names) == 104 and len(oracles) == 101
