@@ -241,6 +241,148 @@ def translate(
     return joined
 
 
+_DNS_QUERY_TYPES = {"a": "A", "aaaa": "AAAA", "ptr": "PTR", "reverse": "PTR", "txt": "TXT"}
+
+
+def dns_enrich(
+    df: DataFrame,
+    resolution: DataFrame,
+    fields: dict[str, str],
+    qtype: str = "reverse",
+    action: str = "append",
+    tag_on_failure: list[str] | None = None,
+    tags_field: str = "tags",
+) -> DataFrame:
+    """DNS processor over a resolver SNAPSHOT table — the Spark-first reading
+    of libbeat/processors/dns (dns/config.go:31-41, dns/dns.go:80-160).
+
+    The reference resolves live against nameservers and memoizes hits in a
+    success/failure cache (dns/cache.go); per-row network IO inside an
+    executor is the one thing a 1000-executor job must never do, so here the
+    cache IS the input: `resolution` is a small (query, answers) table — the
+    materialized resolver state — broadcast and hash-joined map-side. The
+    fact side never shuffles.
+
+    Semantics mirrored from dns.go:
+    - `fields` maps source -> target (config.go:40); each source is looked
+      up independently (dns.go:91).
+    - `qtype` one of A/AAAA/PTR/reverse/TXT (config.go:98-111). PTR/reverse
+      produces a scalar (answers[0], dns.go:109-111); the rest the full
+      answer array (dns.go:112).
+    - `action` append|replace (config.go:68-77). On replace the resolved
+      value overwrites the target; on append it merges with the existing
+      value (dns.go:115-160). Spark columns are statically typed, so append
+      always yields array<string> (string old values become one element) —
+      the typed-relational reading of Go's string-or-slice mutation.
+    - Failure (source present but unresolved) leaves the target untouched
+      and appends `tag_on_failure` ONCE per event, deduplicated
+      (dns.go:83-88 tagOnce + AddTags). A null source is a silent skip, not
+      a failure (dns.go:94-101).
+
+    Duplicate snapshot keys are collapsed to one deterministic row (same
+    guard as `translate`) so the join can never multiply fact rows.
+    """
+    qt = _DNS_QUERY_TYPES.get(qtype.lower())
+    if qt is None:
+        raise ValueError(
+            f"invalid dns lookup type '{qtype}' (valid: A, AAAA, PTR, reverse, TXT)"
+        )
+    if action not in ("append", "replace"):
+        raise ValueError(f"invalid dns field action value '{action}'")
+
+    from pyspark.sql import Window as W
+
+    snap = (
+        resolution.select(
+            F.col("query").cast("string").alias("__dns_q"),
+            F.col("answers").cast("array<string>").alias("__dns_a"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("__dns_q").orderBy(F.col("__dns_a"))),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    failed_terms: list[str] = []
+    out = df
+    for source, target in sorted(fields.items()):
+        src_alias = f"__dns_q_{target}"
+        ans_alias = f"__dns_a_{target}"
+        out = out.join(
+            F.broadcast(
+                snap.select(
+                    F.col("__dns_q").alias(src_alias),
+                    F.col("__dns_a").alias(ans_alias),
+                )
+            ),
+            out[source] == F.col(src_alias),
+            "left",
+        )
+        resolved = F.col(ans_alias)
+        hit = resolved.isNotNull()
+        fail_alias = f"__dns_fail_{target}"
+        out = out.withColumn(fail_alias, F.col(source).isNotNull() & ~hit)
+        failed_terms.append(fail_alias)
+        new_val = (
+            F.element_at(resolved, 1)
+            if qt == "PTR"
+            else resolved
+        )
+        empty = F.array().cast("array<string>")
+        if target in out.columns:
+            old = F.col(target)
+            if dict(out.dtypes).get(target, "").startswith("array"):
+                old_arr = old
+            else:
+                # a scalar old value becomes a one-element array; null stays
+                # null (the reference leaves an absent target absent)
+                old_arr = F.when(
+                    old.isNotNull(), F.array(old.cast("string"))
+                ).otherwise(F.lit(None).cast("array<string>"))
+        else:
+            old = F.lit(None).cast("string")
+            old_arr = F.lit(None).cast("array<string>")
+        if action == "replace":
+            if qt == "PTR":
+                # result column is string; an array-typed old value projects
+                # to its first element on miss (typed reading of PutValue)
+                miss = (
+                    F.element_at(old, 1)
+                    if target in df.columns
+                    and dict(df.dtypes).get(target, "").startswith("array")
+                    else old
+                )
+            else:
+                miss = old_arr
+            merged = F.when(hit, new_val).otherwise(miss)
+        else:
+            new_arr = new_val if qt != "PTR" else F.array(new_val)
+            merged = F.when(
+                hit, F.concat(F.coalesce(old_arr, empty), new_arr)
+            ).otherwise(old_arr)
+        out = out.withColumn(target, merged).drop(src_alias, ans_alias)
+
+    if tag_on_failure:
+        any_failed = F.col(failed_terms[0])
+        for t in failed_terms[1:]:
+            any_failed = any_failed | F.col(t)
+        base = (
+            F.coalesce(F.col(tags_field), F.array().cast("array<string>"))
+            if tags_field in out.columns
+            else F.array().cast("array<string>")
+        )
+        out = out.withColumn(
+            tags_field,
+            F.when(
+                any_failed,
+                F.array_union(base, F.array(*[F.lit(t) for t in tag_on_failure])),
+            ).otherwise(base),
+        )
+    return out.drop(*failed_terms)
+
+
 def cache_put(df: DataFrame, key_field: str, value_field: str, ts_field: str = "ts") -> DataFrame:
     """Build the lookup table side of the cache processor: latest value per
     key (cache/config.go:26-36). TTL filtering is a plain predicate on

@@ -4605,6 +4605,79 @@ def q_event_stamp(spark, sf_dir):
     )
 
 
+@register(
+    "dns_enrich",
+    oracle_cte()
+    + r"""
+, base AS (
+  SELECT CASE WHEN regexp_matches(split_part(text, ' ', 1),
+         '^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$')
+         THEN split_part(text, ' ', 1) END AS ip
+  FROM transcripts
+), res AS (
+  SELECT DISTINCT ip AS query,
+         'host-' || replace(ip, '.', '-') || '.internal.example' AS answer
+  FROM base
+  WHERE ip IS NOT NULL AND CAST(split_part(ip, '.', 4) AS BIGINT) % 3 <> 0
+)
+SELECT r.answer AS resolved_host,
+       (b.ip IS NOT NULL AND r.answer IS NULL) AS dns_failed,
+       count(*) AS n
+FROM base b LEFT JOIN res r ON b.ip = r.query
+GROUP BY resolved_host, dns_failed
+""",
+)
+def q_dns_enrich(spark, sf_dir):
+    """DNS processor over a resolver snapshot (enrich.dns_enrich — the
+    Spark-first reading of libbeat/processors/dns: config surface
+    dns/config.go:31-41, lookup/append/tag semantics dns/dns.go:80-160).
+    The reference resolves live and memoizes in a success cache
+    (dns/cache.go); per-row network IO is the one thing a 1000-executor
+    job must never do, so the cache IS the input: a (query, answers)
+    snapshot table, broadcast and hash-joined map-side — the fact side
+    never shuffles. Here the snapshot is derived deterministically from
+    the corpus's own apache-line client IPs (last-octet % 3 == 0 left
+    unresolvable to exercise tag_on_failure); in production it is a side
+    table maintained by an out-of-band resolver job. reverse/PTR type:
+    scalar answers[0]; append action on a fresh target -> [answer];
+    failures tag once, deduplicated."""
+    from beats_spark.operators import parse as P
+
+    t = load_transcripts(spark, sf_dir)
+    t = P.extract_field(t, "text", " ", 0, "tok0")
+    t = P.convert(t, [{"from": "tok0", "to": "ip", "type": "ip"}])
+    resolution = (
+        t.where(
+            F.col("ip").isNotNull()
+            & (F.element_at(F.split("ip", r"\."), 4).cast("long") % 3 != 0)
+        )
+        .select(F.col("ip").alias("query"))
+        .distinct()
+        .withColumn(
+            "answers",
+            F.array(
+                F.concat(
+                    F.lit("host-"),
+                    F.regexp_replace("query", r"\.", "-"),
+                    F.lit(".internal.example"),
+                )
+            ),
+        )
+    )
+    out = E.dns_enrich(
+        t,
+        resolution,
+        {"ip": "host"},
+        qtype="reverse",
+        action="append",
+        tag_on_failure=["_dns_reverse_lookup_failed"],
+    )
+    return out.groupBy(
+        F.element_at("host", 1).alias("resolved_host"),
+        F.array_contains("tags", "_dns_reverse_lookup_failed").alias("dns_failed"),
+    ).agg(F.count("*").alias("n"))
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -4679,6 +4752,13 @@ _DRIVER_WINDOW = [
     # Both displaced rows are r4 driver-green + judge r4 sweep.
     "container_parse",
     "event_stamp",
+    # last round-5 addition: the dns processor lands as a REAL operator
+    # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
+    # shape-only row it was through r4 — zero driver history, so it enters
+    # the window displacing conv_pattern (r4 driver-green + judge r3/r4
+    # sf0.001 sweeps; conv-window family keeps state_intervals + sink_cube
+    # + latency_quantiles' constituent queries in-window).
+    "dns_enrich",
     # round-3 tail: driver-unverified until r4 (judge-green only)
     "module_pensando_dfw",
     "repetition_quality",
@@ -4690,7 +4770,6 @@ _DRIVER_WINDOW = [
     "asof_enrich",
     "state_intervals",
     "sink_cube",
-    "conv_pattern",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
     # sampling, CCNet perplexity head
     "dsir_select",

@@ -232,3 +232,94 @@ def test_vectorized_script(spark):
     out = MISC.vectorized_script(df, user_fn, "n2 int, s string")
     rows = sorted(out.collect())
     assert [(r.n2, r.s) for r in rows] == [(2, "A"), (4, "B")]
+
+
+def _dns_fixture(spark):
+    events = spark.createDataFrame(
+        [
+            ("e1", "10.0.0.1", None),
+            ("e2", "10.0.0.2", "pre.example"),
+            ("e3", "10.9.9.9", None),   # present but unresolvable
+            ("e4", None, None),          # null source: silent skip
+        ],
+        "id string, src_ip string, src_host string",
+    )
+    resolution = spark.createDataFrame(
+        [
+            ("10.0.0.1", ["one.example"]),
+            ("10.0.0.2", ["two.example", "two-alt.example"]),
+        ],
+        "query string, answers array<string>",
+    )
+    return events, resolution
+
+
+def test_dns_enrich_reverse_replace(spark):
+    events, resolution = _dns_fixture(spark)
+    out = E.dns_enrich(
+        events, resolution, {"src_ip": "src_host"}, qtype="reverse",
+        action="replace", tag_on_failure=["_dns_reverse_lookup_failed"],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows["e1"].src_host == "one.example"
+    assert rows["e2"].src_host == "two.example"        # PTR scalar = answers[0]
+    assert rows["e3"].src_host == "pre.example" or rows["e3"].src_host is None
+    # e3: miss keeps the old value (None here)
+    assert rows["e3"].src_host is None
+    assert rows["e4"].src_host is None
+    tags = {r.id: r.tags for r in out.collect()}
+    assert tags["e3"] == ["_dns_reverse_lookup_failed"]   # resolvable-but-absent
+    assert tags["e4"] == []                               # null source: no failure
+    assert tags["e1"] == []
+
+
+def test_dns_enrich_reverse_append_merges_existing(spark):
+    events, resolution = _dns_fixture(spark)
+    out = E.dns_enrich(
+        events, resolution, {"src_ip": "src_host"}, qtype="reverse",
+        action="append",
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows["e1"].src_host == ["one.example"]          # old null -> [new]
+    assert rows["e2"].src_host == ["pre.example", "two.example"]
+    assert rows["e3"].src_host is None                     # miss + old null
+
+
+def test_dns_enrich_a_type_returns_answer_array(spark):
+    spark_events = spark.createDataFrame(
+        [("e1", "one.example"), ("e2", "zzz.example")],
+        "id string, host string",
+    )
+    resolution = spark.createDataFrame(
+        [("one.example", ["10.0.0.1", "10.0.0.9"])],
+        "query string, answers array<string>",
+    )
+    out = E.dns_enrich(
+        spark_events, resolution, {"host": "host_ips"}, qtype="a",
+        action="replace", tag_on_failure=["_dns_a_failed"],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows["e1"].host_ips == ["10.0.0.1", "10.0.0.9"]
+    assert rows["e2"].host_ips is None
+    assert rows["e2"].tags == ["_dns_a_failed"]
+
+
+def test_dns_enrich_duplicate_snapshot_keys_do_not_multiply(spark):
+    events = spark.createDataFrame([("e1", "10.0.0.1")], "id string, src_ip string")
+    resolution = spark.createDataFrame(
+        [("10.0.0.1", ["b.example"]), ("10.0.0.1", ["a.example"])],
+        "query string, answers array<string>",
+    )
+    out = E.dns_enrich(events, resolution, {"src_ip": "h"}, qtype="reverse")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].h == ["a.example"]  # deterministic: lowest answers row wins
+
+
+def test_dns_enrich_rejects_bad_config(spark):
+    events, resolution = _dns_fixture(spark)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="invalid dns lookup type"):
+        E.dns_enrich(events, resolution, {"src_ip": "h"}, qtype="MX")
+    with _pytest.raises(ValueError, match="invalid dns field action"):
+        E.dns_enrich(events, resolution, {"src_ip": "h"}, action="merge")

@@ -561,3 +561,16 @@ def test_cache_enrich_broadcasts_the_cache(spark):
     nodes = _nodes(_formatted_plan(QUERIES["cache_enrich"](spark, SF_SMOKE)))
     assert "BroadcastHashJoin" in nodes
     assert "SortMergeJoin" not in nodes
+
+
+def test_dns_enrich_broadcasts_the_snapshot(spark):
+    """dns_enrich must broadcast the resolver snapshot — the fact side
+    never shuffles through the lookup, and no per-row Python appears
+    anywhere in the plan (the reference's per-event resolver call is
+    exactly what a 1000-executor job must not do)."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["dns_enrich"](spark, SF_SMOKE)))
+    assert "BroadcastHashJoin" in nodes
+    assert "SortMergeJoin" not in nodes
+    assert not any("Python" in n or "Arrow" in n for n in nodes)

@@ -52,8 +52,14 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         "decontaminate", "gopher_filter", "c4_clean",
         "transcript_curation", "transcript_pack",
         "routed_rows", "asof_enrich", "state_intervals", "sink_cube",
-        "conv_pattern", "chunk_documents",
+        "chunk_documents",
         "dedup_components",
+        # round-5 last addition: the dns processor as a real operator
+        # (resolver-snapshot broadcast join) — zero driver history. It
+        # displaces conv_pattern (r4 driver-green + judge r3/r4 sf0.001
+        # sweeps; conv-window family coverage stays via state_intervals +
+        # sink_cube).
+        "dns_enrich",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
@@ -77,5 +83,5 @@ def test_outside_window_only_long_green_or_rows_only():
     # script_chain + fourteen pytest-only-operator promotions (incl.
     # stage_metrics, the lineage manifest, and the late batches
     # winlog_parse / gzip_roundtrip / field_projection / metadata_stamp /
-    # container_parse / event_stamp), all oracled)
-    assert len(names) == 104 and len(oracles) == 101
+    # container_parse / event_stamp) + dns_enrich, all oracled)
+    assert len(names) == 105 and len(oracles) == 102
