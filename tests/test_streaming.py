@@ -377,3 +377,44 @@ def test_stream_module_bank_resume_golden_equal(spark, tmp_path):
     }
     assert len(got_rows) == len(lines)  # no loss, no dup across resume
     assert got == batch                 # field-identical to the batch bank
+
+
+def test_stream_dns_enrich_equals_batch(spark, tmp_path):
+    """dns_enrich is a stateless stream-static broadcast join, so the
+    streaming result must equal the batch result row-for-row — the dns
+    resolver snapshot is exactly the kind of side table a streaming
+    pipeline holds static between refreshes."""
+    from beats_spark.operators import enrich as E
+
+    schema = "id string, ip string"
+    rows = [
+        ("e1", "10.0.0.1"),
+        ("e2", "10.0.0.2"),
+        ("e3", "10.9.9.9"),
+        ("e4", None),
+    ]
+    src = tmp_path / "dns_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    resolution = spark.createDataFrame(
+        [("10.0.0.1", ["one.example"]), ("10.0.0.2", ["two.example"])],
+        "query string, answers array<string>",
+    )
+
+    def apply(df):
+        return E.dns_enrich(
+            df, resolution, {"ip": "host"}, qtype="reverse",
+            action="append", tag_on_failure=["_dns_fail"],
+        )
+
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    got = {
+        (r.id,): (r.host, r.tags)
+        for r in _run_memory_stream(spark, apply(sdf), "dns_t").collect()
+    }
+    want = {
+        (r.id,): (r.host, r.tags)
+        for r in apply(spark.read.parquet(str(src))).collect()
+    }
+    assert got == want
+    assert want[("e1",)] == (["one.example"], [])
+    assert want[("e3",)] == (None, ["_dns_fail"])
