@@ -3987,6 +3987,31 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_chunks",
+    X.cdc_chunk_hashes_sql(table="(SELECT * FROM documents"
+                           " WHERE doc_id < 2000) s"),
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (textops.cdc_chunk_hashes — the LBFS /
+    FastCDC boundary family, Muthitacharoen et al. 2001): cut after
+    every k-gram whose hash starts with a zero nibble, so chunk
+    boundaries realign after insertions and chunk-level dedup survives
+    edits — the chunk-granular complement to substr_dedup (token
+    windows) and span_dedup (line spans). Map-only: one md5 per
+    position plus one per chunk, all in-array; no exchange, no join,
+    no Python. The oracle recomputes the identical boundary set and
+    per-chunk digests."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 2000) & F.col("text").isNotNull()
+    )
+    out = X.cdc_chunk_hashes(docs)
+    return out.select(
+        "doc_id", "n_chunks",
+        F.md5(F.array_join("cdc_hashes", ",")).alias("chunks_md5"),
+    )
+
+
 @register("bpe_pairs", X.bpe_pair_stats_sql(top_k=32))
 def q_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training merge selection (textops.bpe_pair_stats —
@@ -4752,7 +4777,14 @@ _DRIVER_WINDOW = [
     # Both displaced rows are r4 driver-green + judge r4 sweep.
     "container_parse",
     "event_stamp",
-    # last round-5 addition: the dns processor lands as a REAL operator
+    # round-5 late additions, zero driver history:
+    # cdc_chunks — content-defined chunking (LBFS/FastCDC boundaries), the
+    # chunk-granular dedup complement to substr_dedup/span_dedup. Displaces
+    # transcript_pack (r4 driver-green + judge r3/r4 sf0.001 sweeps;
+    # packing family keeps chunk_documents in-window and pack_sequences
+    # judge-swept right behind it).
+    "cdc_chunks",
+    # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
     # the window displacing conv_pattern (r4 driver-green + judge r3/r4
@@ -4766,7 +4798,6 @@ _DRIVER_WINDOW = [
     "gopher_filter",
     "c4_clean",
     "transcript_curation",
-    "transcript_pack",
     "asof_enrich",
     "state_intervals",
     "sink_cube",

@@ -1103,6 +1103,139 @@ def winnow_fingerprints(
     )
 
 
+def cdc_chunk_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    zero_prefix: int = 1,
+    target: str = "cdc_hashes",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS / FastCDC boundary family —
+    Muthitacharoen et al. 2001): cut a document AFTER every k-gram whose
+    rolling hash satisfies the boundary predicate, then hash each chunk.
+    Unlike fixed-size chunking, an insertion near the head shifts only
+    the chunk it lands in — every boundary after the next cut realigns,
+    so chunk-level dedup survives edits. This is the scale path for
+    chunk-granular dedup over a 100 TB corpus: chunks hash map-side,
+    dedup is one groupBy on the chunk hash.
+
+    Boundary predicate: the md5 of the k-char shingle starts with
+    `zero_prefix` '0' hex chars — cut probability 16^-zero_prefix,
+    expected chunk ~16^zero_prefix chars. Pure string compare, byte-
+    identical across engines (the same md5-portability trade winnowing
+    and simhash make; production would swap in a gear/xxhash rolling
+    hash). The final chunk always ends at the document end; a doc
+    shorter than k chars is a single chunk; an empty normalized doc has
+    zero chunks.
+
+    Shape: map-only — one md5 per position plus one per chunk, all
+    in-array (transform/filter/zip); no exchange, no join, no Python.
+    """
+    zeros = "0" * zero_prefix
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    out = df.withColumn("_cdc_norm", norm)
+    n = F.length("_cdc_norm")
+    npos = n - (k - 1)
+    cut_ends = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(npos, F.lit(0))),
+            lambda i: F.when(
+                F.md5(F.col("_cdc_norm").substr(i, F.lit(k))).substr(
+                    1, zero_prefix
+                )
+                == zeros,
+                i + (k - 1),
+            ),
+        ),
+        # a cut at the very end would duplicate the always-appended
+        # final boundary
+        lambda e: e.isNotNull() & (e < n),
+    )
+    ends = F.when(
+        npos >= 1, F.concat(cut_ends, F.array(n.cast("int")))
+    ).otherwise(
+        F.when(n >= 1, F.array(n.cast("int"))).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
+    out = out.withColumn("_cdc_ends", ends)
+    e_arr = F.col("_cdc_ends")
+    chunk_hashes = F.when(
+        F.size(e_arr) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(e_arr)),
+            lambda j: F.md5(
+                F.col("_cdc_norm").substr(
+                    F.when(j == 1, F.lit(1)).otherwise(
+                        F.element_at(e_arr, (j - 1).cast("int")) + 1
+                    ),
+                    F.element_at(e_arr, j.cast("int"))
+                    - F.when(j == 1, F.lit(0)).otherwise(
+                        F.element_at(e_arr, (j - 1).cast("int"))
+                    ),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        out.withColumn(target, chunk_hashes)
+        .withColumn("n_chunks", F.size(target))
+        .drop("_cdc_norm", "_cdc_ends")
+    )
+
+
+def cdc_chunk_hashes_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 8,
+                         zero_prefix: int = 1) -> str:
+    """DuckDB twin of cdc_chunk_hashes: identical md5 boundary predicate,
+    identical chunk slicing. Yields ({id_col}, n_chunks, chunks_md5)
+    where chunks_md5 digests the in-order chunk-hash list."""
+    zeros = "0" * zero_prefix
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {norm} AS norm FROM {table}
+  WHERE {text_col} IS NOT NULL
+),
+cuts AS (
+  SELECT _id, norm, length(norm) AS n,
+         CASE WHEN length(norm) - {k - 1} >= 1 THEN
+           list_filter(
+             list_transform(range(1, length(norm) - {k - 1} + 1),
+               i -> CASE WHEN substr(md5(substr(norm, CAST(i AS INTEGER), {k})),
+                                     1, {zero_prefix}) = '{zeros}'
+                    THEN i + {k - 1} END),
+             e -> e IS NOT NULL AND e < length(norm))
+         ELSE [] END AS e0
+  FROM base
+),
+ends AS (
+  SELECT _id, norm, n,
+         CASE WHEN n - {k - 1} >= 1 THEN list_append(e0, n)
+              WHEN n >= 1 THEN [n]
+              ELSE [] END AS e
+  FROM cuts
+),
+chunked AS (
+  SELECT _id,
+         CASE WHEN len(e) >= 1 THEN
+           list_transform(range(1, len(e) + 1),
+             j -> md5(substr(norm,
+               CAST(CASE WHEN j = 1 THEN 1
+                    ELSE e[CAST(j - 1 AS INTEGER)] + 1 END AS INTEGER),
+               CAST(e[CAST(j AS INTEGER)]
+                    - CASE WHEN j = 1 THEN 0
+                      ELSE e[CAST(j - 1 AS INTEGER)] END AS INTEGER))))
+         ELSE [] END AS ch
+  FROM ends
+)
+SELECT _id AS {id_col}, len(ch) AS n_chunks,
+       md5(array_to_string(ch, ',')) AS chunks_md5
+FROM chunked
+""".strip()
+
+
 def winnow_fingerprints_sql(table: str = "documents", text_col: str = "text",
                             id_col: str = "doc_id", k: int = 8,
                             w: int = 12) -> str:

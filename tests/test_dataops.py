@@ -898,3 +898,57 @@ def test_bpe_batched_equals_reference_randomized(spark):
         want = _bpe_reference(wc, 9)
         got = X.bpe_learn_merges(df, n_merges=9, batch_m=6)
         assert got == want, f"seed={seed}"
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    from beats_spark.textops import cdc_chunk_hashes
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain keeps falling "
+        "on the old tin roof of the quiet farmhouse all afternoon long"
+    )
+    edited = "breaking news update " + base  # head insertion
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.cdc_hashes for r in cdc_chunk_hashes(df).collect()}
+    # the content-defined property: after the first boundary past the
+    # insertion, chunks realign — the two docs share a common suffix of
+    # identical chunk hashes (fixed-size chunking would share none)
+    a, b = got[1], got[2]
+    shared_tail = 0
+    while (shared_tail < min(len(a), len(b))
+           and a[-1 - shared_tail] == b[-1 - shared_tail]):
+        shared_tail += 1
+    assert shared_tail >= 1, (a, b)
+    # and the heads differ (the insertion landed there)
+    assert a[0] != b[0] or len(a) != len(b)
+
+
+def test_cdc_chunks_edges(spark):
+    from beats_spark.textops import cdc_chunk_hashes
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "tiny"),       # shorter than k -> one whole-doc chunk
+         (2, "   "),        # whitespace-only -> empty norm -> zero chunks
+         (3, "x" * 100)],   # uniform text -> deterministic boundary set
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cdc_chunk_hashes(df).collect()}
+    assert rows[1].n_chunks == 1
+    assert rows[1].cdc_hashes == [hashlib.md5(b"tiny").hexdigest()]
+    assert rows[2].n_chunks == 0 and rows[2].cdc_hashes == []
+    # chunk texts must concatenate back to the normalized doc: verify by
+    # recomputing chunks in pure Python with the same predicate
+    norm = "x" * 100
+    k = 8
+    ends = [i + k - 1 for i in range(1, len(norm) - k + 2)
+            if hashlib.md5(norm[i - 1:i - 1 + k].encode()).hexdigest()[0]
+            == "0" and i + k - 1 < len(norm)]
+    ends.append(len(norm))
+    starts = [1] + [e + 1 for e in ends[:-1]]
+    want = [hashlib.md5(norm[s - 1:e].encode()).hexdigest()
+            for s, e in zip(starts, ends)]
+    assert rows[3].cdc_hashes == want

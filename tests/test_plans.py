@@ -574,3 +574,15 @@ def test_dns_enrich_broadcasts_the_snapshot(spark):
     assert "BroadcastHashJoin" in nodes
     assert "SortMergeJoin" not in nodes
     assert not any("Python" in n or "Arrow" in n for n in nodes)
+
+
+def test_cdc_chunks_is_map_only(spark):
+    """Content-defined chunking must stay map-only: per-position hashing
+    and chunk slicing are in-array expressions — no exchange, join, or
+    Python anywhere in the plan."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["cdc_chunks"](spark, SF_SMOKE)))
+    assert "Exchange" not in nodes
+    assert not any("Join" in n for n in nodes)
+    assert not any("Python" in n or "Arrow" in n for n in nodes)

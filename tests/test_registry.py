@@ -50,16 +50,17 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         # in-window; see _DRIVER_WINDOW comment)
         "module_pensando_dfw", "repetition_quality",
         "decontaminate", "gopher_filter", "c4_clean",
-        "transcript_curation", "transcript_pack",
+        "transcript_curation",
         "routed_rows", "asof_enrich", "state_intervals", "sink_cube",
         "chunk_documents",
         "dedup_components",
-        # round-5 last addition: the dns processor as a real operator
-        # (resolver-snapshot broadcast join) — zero driver history. It
-        # displaces conv_pattern (r4 driver-green + judge r3/r4 sf0.001
-        # sweeps; conv-window family coverage stays via state_intervals +
-        # sink_cube).
-        "dns_enrich",
+        # round-5 last additions, zero driver history: the dns processor
+        # as a real operator (resolver-snapshot broadcast join) and
+        # content-defined chunking. They displace conv_pattern and
+        # transcript_pack (each r4 driver-green + judge r3/r4 sf0.001
+        # sweeps; conv-window family stays via state_intervals +
+        # sink_cube, packing via chunk_documents).
+        "dns_enrich", "cdc_chunks",
         # round-4 additions / oracle promotions
         "simhash_pairs", "media_decode", "ann_lsh_recall", "ann_ivf_recall",
         "dsir_select", "semdedup", "bm25_search", "stratified_topn",
@@ -83,5 +84,6 @@ def test_outside_window_only_long_green_or_rows_only():
     # script_chain + fourteen pytest-only-operator promotions (incl.
     # stage_metrics, the lineage manifest, and the late batches
     # winlog_parse / gzip_roundtrip / field_projection / metadata_stamp /
-    # container_parse / event_stamp) + dns_enrich, all oracled)
-    assert len(names) == 105 and len(oracles) == 102
+    # container_parse / event_stamp) + dns_enrich + cdc_chunks, all
+    # oracled)
+    assert len(names) == 106 and len(oracles) == 103
