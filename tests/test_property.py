@@ -320,3 +320,42 @@ def test_exact_substr_dedup_matches_reference(spark, texts):
         assert got[d]["n_tokens"] == n_tok, (d, texts)
         assert got[d]["n_removed"] == n_rem, (d, texts)
         assert got[d]["deduped"] == deduped, (d, texts)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="abcd efg\nh.", min_size=0, max_size=80),
+                min_size=1, max_size=6))
+def test_cdc_chunks_match_python_reference(spark, texts):
+    """cdc_chunk_hashes must equal a pure-Python recompute of the same
+    boundary predicate on every input: chunks concatenate back to the
+    normalized doc and hash identically."""
+    import hashlib
+    import re as _re
+
+    from beats_spark.textops import cdc_chunk_hashes
+
+    k, z = 8, 1
+
+    def ref(text):
+        norm = _re.sub(r"\s+", " ", text.lower()).strip()
+        n = len(norm)
+        if n == 0:
+            return []
+        ends = [
+            i + k - 1
+            for i in range(1, n - k + 2)
+            if hashlib.md5(norm[i - 1:i - 1 + k].encode()).hexdigest()[:z]
+            == "0" * z and i + k - 1 < n
+        ]
+        ends.append(n)
+        starts = [1] + [e + 1 for e in ends[:-1]]
+        return [hashlib.md5(norm[s - 1:e].encode()).hexdigest()
+                for s, e in zip(starts, ends)]
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: list(r.cdc_hashes)
+           for r in cdc_chunk_hashes(docs, k=k, zero_prefix=z).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (i, t)
