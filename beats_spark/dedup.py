@@ -942,3 +942,182 @@ SELECT _id AS {id_col}, len(toks) AS n_tokens,
                      x -> x IS NOT NULL), ' '), '') AS deduped
 FROM joined
 """
+
+
+# -- Bloom-filter decontamination ----------------------------------------------
+#
+# `decontaminate` broadcasts the probe's DISTINCT n-gram hash set — exact, and
+# fine while benchmarks are small. At 100 TB the probe side can itself be huge
+# (decontaminating against another full corpus, or thousands of benchmarks):
+# the scale path compresses the probe set into a Bloom bitmap of fixed size
+# (m bits, k hash functions), broadcast as ONE row, membership tested map-only
+# per document. False positives exist by construction (over-flagging only —
+# the safe direction for decontamination) and are DETERMINISTIC: both engines
+# derive the same k positions from md5, so the oracle reproduces them exactly.
+#
+# Positions use Kirsch-Mitzenmacher double hashing (h1 + i*h2 mod m) from two
+# 32-bit md5 halves; the bitmap is stored as m/32 int32 words so every shift
+# stays within BIGINT range in both engines.
+
+_BLOOM_WORD = 32
+
+
+def bloom_positions_exprs(gram: str, m_bits: int, k_hashes: int) -> list[str]:
+    """SQL expressions (Spark dialect) for the k bit positions of `gram`."""
+    h1 = f"CAST(conv(substr(md5({gram}), 1, 8), 16, 10) AS BIGINT)"
+    h2 = f"CAST(conv(substr(md5({gram}), 9, 8), 16, 10) AS BIGINT)"
+    return [f"(({h1} + {i} * {h2}) % {m_bits})" for i in range(k_hashes)]
+
+
+def bloom_build(
+    probe: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> list[int]:
+    """Dense m/32-word Bloom bitmap of the probe corpus's word n-grams.
+
+    The aggregation is fully distributed (explode positions → per-word
+    bit_or with map-side partials); only the FINISHED bitmap — m/32 ints,
+    a few KB, independent of probe size — ever reaches the driver, the
+    same bounded-driver-state class as the CC convergence fingerprint."""
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    pos_exprs = bloom_positions_exprs("_g", m_bits, k_hashes)
+    words = (
+        probe.where(F.col(text_col).isNotNull())
+        .select(F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_toks"))
+        .select(F.explode(grams).alias("_g"))
+        .select(F.explode(F.array(
+            *[F.expr(e).cast("long") for e in pos_exprs]
+        )).alias("_pos"))
+        .select(
+            (F.col("_pos") / _BLOOM_WORD).cast("int").alias("_w"),
+            (F.col("_pos") % _BLOOM_WORD).cast("int").alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _b)"))
+             .alias("_bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // _BLOOM_WORD)
+    for r in words:
+        bitmap[r["_w"]] = int(r["_bits"])
+    return bitmap
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    probe_text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    target: str = "contaminated",
+) -> DataFrame:
+    """Bloom-filter twin of `decontaminate`: flags every training document
+    one of whose word n-grams tests positive against the probe corpus's
+    Bloom bitmap. Over-flags (never under-flags) relative to the exact
+    semi-join, deterministically — size m_bits for the probe's distinct
+    gram count to keep the false-positive rate acceptable
+    (k=4, m/n_grams=16 → ~0.2%).
+
+    Scale shape: the bitmap rides to executors as a one-row broadcast
+    nested-loop join (a few KB regardless of probe size); the membership
+    test is an `exists` over the per-document gram array — map-only, no
+    explode, no shuffle of the 100 TB side, text never leaves the scan.
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); rule follows Brown et al. 2020 app. C with the Bloom
+    compression used by large-corpus dedup tooling (e.g. Dolma).
+    """
+    bitmap = bloom_build(probe, probe_text_col, n, m_bits, k_hashes)
+    spark = df.sparkSession
+    bm = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
+    grams = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+    checks = " AND ".join(
+        f"(shiftright(element_at(_bloom, CAST({p} div {_BLOOM_WORD} AS INT) + 1),"
+        f" CAST({p} % {_BLOOM_WORD} AS INT)) & 1) = 1"
+        for p in bloom_positions_exprs("g", m_bits, k_hashes)
+    )
+    hit = F.expr(f"exists(_grams, g -> {checks})")
+    out = (
+        df.withColumn(
+            "_toks",
+            F.when(F.col(text_col).isNotNull(),
+                   F.split(F.trim(F.lower(F.col(text_col))), r"\s+")),
+        )
+        .withColumn("_grams", F.when(F.col("_toks").isNotNull(), grams))
+        .join(F.broadcast(bm))
+        .withColumn(target, F.coalesce(hit, F.lit(False)))
+        .drop("_toks", "_grams", "_bloom")
+    )
+    return out
+
+
+def bloom_decontaminate_sql(
+    table: str = "documents",
+    probe_where: str = "doc_id % 7 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> str:
+    """DuckDB twin: rebuilds the identical bitmap (same md5 double-hash
+    positions, same 32-bit words) and re-tests every document, false
+    positives included."""
+    h1 = "('0x' || substr(md5(g), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(g), 9, 8))::BIGINT"
+    poss = ", ".join(
+        f"(({h1} + {i} * {h2}) % {m_bits}) AS p{i}" for i in range(k_hashes)
+    )
+    unp = ", ".join(f"p{i}" for i in range(k_hashes))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, regexp_split_to_array(trim(lower({text_col})), '\\s+') AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+grams AS (
+  SELECT _id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 1) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS g
+  FROM toks
+),
+probe_pos AS (
+  SELECT unnest([{unp}]) AS pos
+  FROM (SELECT {poss} FROM (SELECT DISTINCT g FROM grams
+                            WHERE _id IN (SELECT {id_col} FROM {table}
+                                          WHERE {probe_where})) s) q
+),
+bloom AS (
+  SELECT pos // {_BLOOM_WORD} AS w,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INT)) AS bits
+  FROM probe_pos GROUP BY 1
+),
+gram_pos AS (
+  SELECT _id, g, unnest([{unp}]) AS pos
+  FROM (SELECT _id, g, {poss} FROM grams) q
+),
+gram_hit AS (
+  SELECT gp._id, gp.g,
+         bool_and(coalesce((b.bits >> CAST(gp.pos % {_BLOOM_WORD} AS INT))
+                           & 1, 0) = 1) AS hit
+  FROM gram_pos gp LEFT JOIN bloom b ON gp.pos // {_BLOOM_WORD} = b.w
+  GROUP BY 1, 2
+),
+flags AS (
+  SELECT t._id, coalesce(h.hit, FALSE) AS contaminated
+  FROM toks t LEFT JOIN (SELECT _id, bool_or(hit) AS hit
+                         FROM gram_hit GROUP BY 1) h USING (_id)
+)
+SELECT _id AS {id_col}, contaminated FROM flags
+""".strip()

@@ -4703,6 +4703,124 @@ def q_dns_enrich(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
+def _hash_split_oracle() -> str:
+    from beats_spark.sampling import hash_split_sql
+
+    return f"""
+SELECT split, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM (SELECT doc_id, {hash_split_sql()} AS split FROM documents) s
+GROUP BY 1
+""".strip()
+
+
+@register("hash_split", None)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test holdout (sampling.hash_split): every
+    document lands in the first split whose cumulative md5-threshold
+    exceeds md5(doc_id:salt)'s 8-hex prefix — 90/5/5 here. Unlike
+    randomSplit, assignment is a pure function of the id: stable under
+    repartitioning, reruns, and corpus growth (a new document never moves
+    an old one between splits). Plan: map-only CASE chain in whole-stage
+    codegen, one corpus groupBy with map-side partials. Oracle restates
+    the identical threshold CASE in DuckDB."""
+    from beats_spark import sampling as SM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SM.hash_split(docs).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register("ngram_topk", None)
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams (textops.ngram_topk) — the classic
+    heavy-hitters audit (vocab building, boilerplate detection). Plan:
+    explode emits bare gram strings, the count partial-aggregates
+    map-side (shuffle is vocabulary-sized, not occurrence-sized), and
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    bounded heaps, never a global sort. Tie-break (count desc, gram asc)
+    is shared with the oracle so the listing is deterministic."""
+    from beats_spark import textops as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.ngram_topk(docs, n=2, k=20)
+
+
+@register("tfidf_keywords", None)
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf (textops.tfidf_topk), scored
+    as tf/df — idf's rank-equivalent core chosen because integer÷integer
+    double division is IEEE-correctly-rounded and therefore bit-identical
+    across engines, while ln() is not. Plan: two vocabulary-keyed
+    shuffles (tf and df counts, both with map-side partials) joined
+    hash-on-term, then a per-document row_number window whose sort is
+    bounded by one document's vocabulary. Ties break by term asc in both
+    engines."""
+    from beats_spark import textops as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 2000
+    )
+    return X.tfidf_topk(docs, k=3)
+
+
+@register("bloom_decontaminate", None)
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (dedup.bloom_decontaminate): the scale
+    path for when the probe's exact 13-gram hash set is itself too big to
+    broadcast — the probe compresses into a fixed m-bit Bloom bitmap
+    (m=2^16, k=4 here), broadcast as ONE row, membership tested map-only
+    via `exists` over each document's gram array. Over-flags relative to
+    the exact semi-join (`decontaminate`) — the safe direction — and the
+    false positives are DETERMINISTIC: both engines derive the same
+    md5 double-hash positions, so the oracle rebuilds the identical
+    bitmap and reproduces every flag, false positives included."""
+    from beats_spark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 1500
+    ).where(F.col("text").isNotNull())
+    probe = docs.where(F.col("doc_id") % 7 == 0)
+    out = D.bloom_decontaminate(docs, probe)
+    return out.groupBy("contaminated").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+    )
+
+
+def _late_r5_oracles() -> None:
+    """Oracles for the round-5 additions above, built from the same
+    *_sql helpers the operators export (single source of truth)."""
+    from beats_spark import dedup as D
+    from beats_spark import textops as X
+
+    ORACLES["hash_split"] = _hash_split_oracle()
+    ORACLES["ngram_topk"] = X.ngram_topk_sql(n=2, k=20)
+    ORACLES["tfidf_keywords"] = X.tfidf_topk_sql(
+        table="(SELECT * FROM documents WHERE doc_id < 2000) b", k=3
+    )
+    _bloom = D.bloom_decontaminate_sql(
+        table="(SELECT * FROM documents"
+              " WHERE doc_id < 1500 AND text IS NOT NULL) b"
+    )
+    ORACLES["bloom_decontaminate"] = f"""
+SELECT contaminated, count(*) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id
+FROM ({_bloom}) f GROUP BY 1
+""".strip()
+
+
+_late_r5_oracles()
+
+
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",
@@ -4784,6 +4902,24 @@ _DRIVER_WINDOW = [
     # packing family keeps chunk_documents in-window and pack_sequences
     # judge-swept right behind it).
     "cdc_chunks",
+    # round-5 second-session additions, zero driver history — each displaces
+    # a row holding r4 driver-green + judge r3/r4 sf0.001 sweeps (two-plus
+    # rounds of evidence), with family coverage retained in-window:
+    # hash_split (sampling family: stratified_topn + dsir_select +
+    # perplexity_filter stay) displaces asof_enrich (enrich family keeps
+    # cache_enrich + dns_enrich + module banks);
+    # ngram_topk + tfidf_keywords (corpus-stats/retrieval: bm25_search +
+    # bpe_pairs stay) displace gopher_filter + transcript_curation
+    # (quality family keeps repetition_quality + c4_clean; funnel/rollup
+    # family keeps sink_cube);
+    # bloom_decontaminate displaces decontaminate DIRECTLY — same 13-gram
+    # construction, same probe slice, so the family's semantics stay
+    # window-covered by the new scale-path twin while the exact semi-join
+    # variant rests on its r4 green + judge sweeps.
+    "hash_split",
+    "ngram_topk",
+    "tfidf_keywords",
+    "bloom_decontaminate",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -4791,14 +4927,13 @@ _DRIVER_WINDOW = [
     # sf0.001 sweeps; conv-window family keeps state_intervals + sink_cube
     # + latency_quantiles' constituent queries in-window).
     "dns_enrich",
-    # round-3 tail: driver-unverified until r4 (judge-green only)
+    # round-3 tail: driver-unverified until r4 (judge-green only).
+    # decontaminate / gopher_filter / transcript_curation / asof_enrich
+    # rotated out this session for the four second-session additions above
+    # (each now carries r4 driver-green + judge r3/r4 sweeps).
     "module_pensando_dfw",
     "repetition_quality",
-    "decontaminate",
-    "gopher_filter",
     "c4_clean",
-    "transcript_curation",
-    "asof_enrich",
     "state_intervals",
     "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota

@@ -646,3 +646,76 @@ def temperature_mix_copies(
         )
         .drop("_whole", "_frac_hex")
     )
+
+
+def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, exclusive upper 8-hex threshold) in declaration order,
+    cumulative over the 16^8 decision space with exact integer floor
+    arithmetic — the last split's threshold is forced to the space top so
+    the partition is total regardless of float weight normalization."""
+    names = list(weights)
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split weights must sum to a positive value")
+    cum = 0.0
+    out: list[tuple[str, str]] = []
+    for i, name in enumerate(names):
+        cum += weights[name]
+        t = _HEX_SPACE if i == len(names) - 1 else int(
+            (_HEX_SPACE * int(round(cum * 10**9))) // (int(round(total * 10**9)))
+        )
+        out.append((name, format(min(t, _HEX_SPACE), "09x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    target: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the first
+    split whose cumulative md5-threshold exceeds md5(id:salt)'s 8-hex
+    prefix. The standard holdout construction for training corpora — the
+    assignment is a pure function of (id, salt), so it is repartition-
+    stable, rerun-stable, and immune to input ordering; growing the corpus
+    never moves an existing row between splits (unlike randomSplit, whose
+    assignment depends on partitioning and seed plumbing).
+
+    Scale shape: map-only — one md5 and a constant CASE chain per row, no
+    join, no shuffle, whole-stage codegen. Thresholds are computed on the
+    driver with exact integer arithmetic shared verbatim with the SQL twin.
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); construction mirrors the hash-bucket holdout idiom used in
+    large-corpus pipelines (e.g. C4's URL-hash splits).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    dec = _decision_hex(id_col, salt)
+    expr: Column | None = None
+    for name, t_hex in reversed(_split_thresholds(weights)):
+        expr = (
+            F.lit(name) if expr is None
+            # dec is 8 hex chars, thresholds 9 — zero-padded so the string
+            # comparison stays monotone across the 16^8 top boundary
+            else F.when(F.concat(F.lit("0"), dec) < F.lit(t_hex),
+                        F.lit(name)).otherwise(expr)
+        )
+    return df.withColumn(target, expr)
+
+
+def hash_split_sql(
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of hash_split's CASE chain — same thresholds, same
+    zero-padded 9-hex comparison."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    dec = _decision_hex_sql(id_col, salt)
+    ths = _split_thresholds(weights)
+    branches = " ".join(
+        f"WHEN '0' || {dec} < '{t}' THEN '{n}'" for n, t in ths[:-1]
+    )
+    return f"CASE {branches} ELSE '{ths[-1][0]}' END"

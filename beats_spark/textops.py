@@ -1337,3 +1337,166 @@ def canonicalize_url_sql(url_expr: str) -> str:
         f"CASE WHEN {scheme} <> '' THEN {scheme} || '://' || {host} || {path}"
         f" || CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END END"
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Corpus-wide word n-gram counts: (gram, n_occurrences) over the
+    whitespace/lower tokenization shared with `tokens()`. Documents with
+    fewer than n tokens contribute nothing.
+
+    Scale shape: the explode emits bare gram strings; the groupBy count
+    partial-aggregates map-side (each task ships one row per DISTINCT gram
+    it saw, not per occurrence), so the shuffle is vocabulary-sized, not
+    corpus-sized. Downstream top-k goes through `ngram_topk`'s
+    TakeOrderedAndProject — never a global sort.
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); this is the classic heavy-hitters job every corpus audit
+    runs (vocab building, boilerplate detection, contamination triage).
+    """
+    grams = F.when(
+        F.size("_toks") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_toks, i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(tokens(F.col(text_col)).alias("_toks"))
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def ngram_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k corpus n-grams by occurrence count, ties broken by gram text
+    ascending. orderBy+limit compiles to TakeOrderedAndProject: bounded
+    per-partition heaps merged on the driver — no global sort at any
+    vocabulary size."""
+    return (
+        ngram_counts(df, text_col, n)
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> str:
+    """DuckDB twin: identical tokenization, gram construction, and
+    (count desc, gram asc) tie-break."""
+    return f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(lower({text_col})), '\\s+') AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram
+  FROM toks
+)
+SELECT gram, count(*) AS n_occurrences
+FROM grams GROUP BY 1
+ORDER BY n_occurrences DESC, gram ASC LIMIT {k}
+""".strip()
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf: for each document,
+    the k terms with the highest tf/df ratio (term frequency over document
+    frequency — idf's rank-equivalent core, chosen over log-idf because
+    integer÷integer double division is IEEE-correctly-rounded and therefore
+    bit-identical across engines, while ln() is not). Ties break by term
+    ascending. Returns (id, term, tf, df, rank).
+
+    Scale shape: two vocabulary-keyed shuffles — (id, term) tf counts and
+    term→df counts — joined hash-on-term (the df side is vocabulary-sized;
+    at web scale both sides partial-aggregate map-side and neither carries
+    text beyond the term itself). The per-document top-k window partitions
+    by id, so its sort is bounded by a single document's vocabulary.
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); standard corpus keyword/labeling primitive (Salton & Buckley
+    1988).
+    """
+    terms = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"),
+                F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "_score", F.col("tf").cast("double") / F.col("df")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_id").orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "df", "rank")
+    )
+
+
+def tfidf_topk_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> str:
+    """DuckDB twin — same tokenization, same double tf/df score, same
+    (score desc, term asc) row_number tie-break."""
+    return f"""
+WITH terms AS (
+  SELECT {id_col} AS _id, t AS term
+  FROM (SELECT {id_col},
+               unnest(regexp_split_to_array(trim(lower({text_col})),
+                                            '\\s+')) AS t
+        FROM {table} WHERE {text_col} IS NOT NULL) s
+  WHERE t != ''
+),
+tf AS (
+  SELECT _id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT _id, term FROM terms) s GROUP BY 1
+),
+ranked AS (
+  SELECT tf._id, tf.term, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf._id
+           ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT _id AS {id_col}, term, tf, df, rank
+FROM ranked WHERE rank <= {k}
+""".strip()

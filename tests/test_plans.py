@@ -586,3 +586,53 @@ def test_cdc_chunks_is_map_only(spark):
     assert "Exchange" not in nodes
     assert not any("Join" in n for n in nodes)
     assert not any("Python" in n or "Arrow" in n for n in nodes)
+
+
+def test_hash_split_is_map_only_single_agg(spark):
+    """hash_split must stay a codegen CASE chain: one Exchange for the
+    final groupBy, no joins, no Python anywhere."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["hash_split"](spark, SF_SMOKE)))
+    assert nodes.count("Exchange") == 1
+    assert not any("Join" in n for n in nodes)
+    assert not any("Python" in n or "Arrow" in n for n in nodes)
+
+
+def test_ngram_topk_bounded_heap_no_global_sort(spark):
+    """Corpus top-k must compile to TakeOrderedAndProject (bounded
+    per-partition heaps) — a global Sort node would materialize the whole
+    vocabulary ordered."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["ngram_topk"](spark, SF_SMOKE)))
+    assert "TakeOrderedAndProject" in nodes
+    assert "Sort" not in nodes
+    assert not any("Python" in n or "Arrow" in n for n in nodes)
+
+
+def test_tfidf_keywords_stays_jvm_side(spark):
+    """tf-idf ranking is joins + window over bare (id, term, counts) —
+    no Python, no cartesian/broadcast-nested-loop blowup."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(QUERIES["tfidf_keywords"](spark, SF_SMOKE)))
+    assert not any("Python" in n or "Arrow" in n for n in nodes)
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+
+
+def test_bloom_decontaminate_corpus_never_shuffles(spark):
+    """The Bloom membership test must ride a ONE-ROW broadcast
+    nested-loop join (the bitmap) with the corpus side map-only until the
+    final two-row aggregate: no Generate (gram explode) of the corpus
+    side, no Python, exactly the one agg Exchange."""
+    from beats_spark.queries import QUERIES
+
+    nodes = _nodes(_formatted_plan(
+        QUERIES["bloom_decontaminate"](spark, SF_SMOKE)))
+    assert "BroadcastNestedLoopJoin" in nodes
+    assert "Generate" not in nodes
+    assert not any("Python" in n or "Arrow" in n for n in nodes)
+    assert nodes.count("Exchange") == 1
+    assert "SortMergeJoin" not in nodes

@@ -1,0 +1,141 @@
+"""Round-5 second-session data ops: deterministic hash splits, corpus
+n-gram heavy hitters, tf-idf keywords, Bloom-filter decontamination."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from beats_spark import dedup as D
+from beats_spark import sampling as SM
+from beats_spark import textops as X
+
+from .conftest import SF_SMOKE
+
+
+def _py_split(doc_id, weights, salt="split"):
+    """Pure-Python recompute of the hash_split decision."""
+    hexv = hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:8]
+    ths = SM._split_thresholds(weights)
+    for name, t in ths:
+        if "0" + hexv < t:
+            return name
+    return ths[-1][0]
+
+
+class TestHashSplit:
+    def test_matches_pure_python_and_partitions_totally(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        w = {"train": 0.9, "val": 0.05, "test": 0.05}
+        rows = SM.hash_split(docs, w).select("doc_id", "split").collect()
+        assert len(rows) == docs.count()
+        for r in rows:
+            assert r["split"] == _py_split(r["doc_id"], w)
+
+    def test_repartition_stable(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        a = {r["doc_id"]: r["split"]
+             for r in SM.hash_split(docs).select("doc_id", "split").collect()}
+        b = {r["doc_id"]: r["split"]
+             for r in SM.hash_split(docs.repartition(7))
+             .select("doc_id", "split").collect()}
+        assert a == b
+
+    def test_corpus_growth_never_moves_a_row(self, spark):
+        """Assignment is a pure function of (id, salt): the split of the
+        first 100 docs is identical whether computed over 100 or all."""
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        small = SM.hash_split(docs.where(F.col("doc_id") < 100))
+        full = SM.hash_split(docs).where(F.col("doc_id") < 100)
+        a = {r["doc_id"]: r["split"] for r in small.select("doc_id", "split").collect()}
+        b = {r["doc_id"]: r["split"] for r in full.select("doc_id", "split").collect()}
+        assert a == b
+
+    def test_integer_weights_and_fractions(self, spark):
+        """Integer 8/1/1 weights behave like 0.8/0.1/0.1, and observed
+        fractions land near targets on 500 docs."""
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = SM.hash_split(docs, {"a": 8, "b": 1, "c": 1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        total = sum(counts.values())
+        assert 0.7 < counts["a"] / total < 0.9
+        assert counts.keys() == {"a", "b", "c"}
+
+
+class TestNgramTopk:
+    def test_hand_computed_counts(self, spark):
+        df = spark.createDataFrame(
+            [("a b c a b",), ("a b x",), ("zz",), (None,)], "text string"
+        )
+        got = {(r["gram"], r["n_occurrences"])
+               for r in X.ngram_topk(df, n=2, k=10).collect()}
+        # doc1 bigrams: a b, b c, c a, a b ; doc2: a b, b x ; doc3: none
+        assert got == {("a b", 3), ("b c", 1), ("c a", 1), ("b x", 1)}
+
+    def test_tie_break_and_limit(self, spark):
+        df = spark.createDataFrame([("p q",), ("a b",)], "text string")
+        rows = X.ngram_topk(df, n=2, k=1).collect()
+        assert [(r["gram"], r["n_occurrences"]) for r in rows] == [("a b", 1)]
+
+
+class TestTfidfTopk:
+    def test_hand_computed_ranking(self, spark):
+        # 'rare' appears only in doc 1 (df=1); 'common' in both (df=2).
+        df = spark.createDataFrame(
+            [(1, "rare common common"), (2, "common common other")],
+            "doc_id long, text string",
+        )
+        out = X.tfidf_topk(df, k=2)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["term"], r["tf"], r["df"]))
+        # doc 1: rare tf=1/df=1 (1.0) beats common tf=2/df=2 (1.0)? equal
+        # scores -> term asc: 'common' < 'rare'
+        assert sorted(by_doc[1]) == [(1, "common", 2, 2), (2, "rare", 1, 1)]
+        # doc 2: common 2/2=1.0 beats other 1/1=1.0 on term asc
+        assert sorted(by_doc[2]) == [(1, "common", 2, 2), (2, "other", 1, 1)]
+
+    def test_rank_never_exceeds_k(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").where(
+            F.col("doc_id") < 50
+        )
+        out = X.tfidf_topk(docs, k=3)
+        assert out.agg(F.max("rank")).first()[0] <= 3
+        per_doc = out.groupBy("doc_id").count()
+        assert per_doc.agg(F.max("count")).first()[0] <= 3
+
+
+class TestBloomDecontaminate:
+    def test_superset_of_exact_and_deterministic(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").where(
+            (F.col("doc_id") < 300) & F.col("text").isNotNull()
+        )
+        probe = docs.where(F.col("doc_id") % 7 == 0)
+        bloom = {r["doc_id"] for r in D.bloom_decontaminate(docs, probe)
+                 .where("contaminated").select("doc_id").collect()}
+        exact = {r["doc_id"] for r in D.decontaminate(docs, probe)
+                 .where("contaminated").select("doc_id").collect()}
+        # Bloom can only OVER-flag (false positives), never miss
+        assert exact <= bloom
+        # and the false-positive rate at m=2^16/k=4 stays modest
+        assert len(bloom - exact) <= 0.1 * docs.count()
+        again = {r["doc_id"] for r in D.bloom_decontaminate(docs, probe)
+                 .where("contaminated").select("doc_id").collect()}
+        assert bloom == again
+
+    def test_bitmap_is_bounded_and_matches_python(self, spark):
+        """Driver state = m/32 ints regardless of probe size, and the bit
+        positions match a pure-Python recompute of the double hash."""
+        probe = spark.createDataFrame([("alpha beta gamma",)], "text string")
+        m, k, n = 1 << 10, 4, 3
+        bitmap = D.bloom_build(probe, n=n, m_bits=m, k_hashes=k)
+        assert len(bitmap) == m // 32
+        gram = "alpha beta gamma"
+        dig = hashlib.md5(gram.encode()).hexdigest()
+        h1, h2 = int(dig[:8], 16), int(dig[8:16], 16)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            assert (bitmap[pos // 32] >> (pos % 32)) & 1 == 1
