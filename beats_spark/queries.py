@@ -4795,6 +4795,62 @@ def q_bloom_decontaminate(spark, sf_dir):
     )
 
 
+_BOILER_HEADER = "NAV: HOME | ABOUT | CONTACT"
+_BOILER_FOOTERS = ("Copyright 2024 Example Corp",
+                   "Subscribe to our newsletter")
+
+
+@register("strip_boilerplate", None)
+def q_strip_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate line removal (textops.strip_boilerplate —
+    RefinedWeb §3.2 line-wise filtering applied corpus-wide): any trimmed
+    line in >= min_docs distinct documents is removed everywhere. The
+    corpus has no newlines, so the web-page shape is PLANTED (the
+    url_canonical precedent): every doc gets the same nav header, one of
+    two footers by doc_id parity, and a unique 'ref: doc-N' line that
+    must SURVIVE (frequency 1 < min_docs). Oracle matches on line
+    STRINGS while Spark uses xxhash64(trim(line)) — a 64-bit collision
+    would surface as a hash mismatch. Plan: bare (id, hash) frequency
+    shuffle, removed-hash sets join back BY ID, in-array rebuild — text
+    never rides the frequency exchange (plan-gated)."""
+    from beats_spark import textops as X
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 3000) & F.col("text").isNotNull()
+    )
+    footer = F.when(F.col("doc_id") % 2 == 0, F.lit(_BOILER_FOOTERS[0])) \
+        .otherwise(F.lit(_BOILER_FOOTERS[1]))
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_BOILER_HEADER),
+            F.col("text"),
+            footer,
+            F.concat(F.lit("ref: doc-"), F.col("doc_id")),
+        ).alias("text"),
+    )
+    out = X.strip_boilerplate(page, min_docs=50)
+    return out.select(
+        "doc_id", "n_lines", "n_removed",
+        F.md5("cleaned").alias("cleaned_md5"),
+    )
+
+
+def _strip_boilerplate_oracle() -> str:
+    from beats_spark.textops import strip_boilerplate_sql
+
+    page = f"""
+(SELECT doc_id,
+        '{_BOILER_HEADER}' || chr(10) || text || chr(10) ||
+        CASE WHEN doc_id % 2 = 0 THEN '{_BOILER_FOOTERS[0]}'
+             ELSE '{_BOILER_FOOTERS[1]}' END || chr(10) ||
+        'ref: doc-' || doc_id AS text
+ FROM documents WHERE doc_id < 3000 AND text IS NOT NULL) p
+""".strip()
+    return strip_boilerplate_sql(table=page, min_docs=50)
+
+
 def _late_r5_oracles() -> None:
     """Oracles for the round-5 additions above, built from the same
     *_sql helpers the operators export (single source of truth)."""
@@ -4802,6 +4858,7 @@ def _late_r5_oracles() -> None:
     from beats_spark import textops as X
 
     ORACLES["hash_split"] = _hash_split_oracle()
+    ORACLES["strip_boilerplate"] = _strip_boilerplate_oracle()
     ORACLES["ngram_topk"] = X.ngram_topk_sql(n=2, k=20)
     ORACLES["tfidf_keywords"] = X.tfidf_topk_sql(
         table="(SELECT * FROM documents WHERE doc_id < 2000) b", k=3
@@ -4920,6 +4977,12 @@ _DRIVER_WINDOW = [
     "ngram_topk",
     "tfidf_keywords",
     "bloom_decontaminate",
+    # strip_boilerplate (corpus-level frequent-line removal) displaces
+    # c4_clean (r4 driver-green + judge r3/r4 sweeps) — the cleaning
+    # family keeps repetition_quality in-window plus this new
+    # corpus-statistic member; c4_clean's per-doc line rules are its
+    # direct ancestor and stay judge-swept right behind the window.
+    "strip_boilerplate",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -4933,7 +4996,6 @@ _DRIVER_WINDOW = [
     # (each now carries r4 driver-green + judge r3/r4 sweeps).
     "module_pensando_dfw",
     "repetition_quality",
-    "c4_clean",
     "state_intervals",
     "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota

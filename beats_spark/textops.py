@@ -1500,3 +1500,114 @@ ranked AS (
 SELECT _id AS {id_col}, term, tf, df, rank
 FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the RefinedWeb / Dolma cleaning
+    step): any trimmed non-empty line appearing in >= min_docs DISTINCT
+    documents is boilerplate — headers, footers, nav bars, cookie banners
+    — and every occurrence is removed corpus-wide. Unlike `c4_clean`
+    (per-doc line rules) the criterion is a CORPUS statistic; unlike
+    `span_dedup` (first occurrence kept) every occurrence goes.
+
+    Returns the input plus ``n_lines``, ``n_removed`` and ``cleaned``
+    (surviving lines re-joined with newlines, original spelling kept —
+    matching is on the trimmed form; `trim` strips ASCII spaces in BOTH
+    engines, tabs count as content). Blank lines are never candidates
+    and always survive.
+
+    Scale shape — text never shuffles (span_dedup's property):
+      1. per-doc DISTINCT line hashes explode as bare (id, xxhash64) pairs;
+      2. the frequency count shuffles those 16-byte pairs with map-side
+         partials; the boilerplate set is its >= min_docs slice — bounded
+         above by total_lines/min_docs, and orders smaller in practice;
+      3. per-doc removed-hash sets aggregate to one short array per
+         AFFECTED doc and join the original frame BY ID (the only exchange
+         text rides);
+      4. the rebuild is an in-array filter re-hashing each line map-side.
+    Equality is xxhash64-of-trimmed-line; the oracle matches on the line
+    STRINGS, so a 64-bit collision shows up as a hash mismatch
+    (decontaminate's accepted odds).
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate); rule follows Penedo et al. 2023 (RefinedWeb §3.2
+    line-wise filtering) as applied corpus-wide by Dolma's dedupe pass.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    base = df.withColumn("_lines", lines).withColumn(
+        "n_lines", F.size("_lines")
+    )
+    line_hash = "xxhash64(trim(l))"
+    occ = base.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f"filter(_lines, l -> trim(l) != ''), l -> {line_hash}))"
+            )
+        ).alias("_h"),
+    )
+    boiler = (
+        occ.groupBy("_h").agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    bad = (
+        occ.join(boiler, "_h")
+        .groupBy("_id")
+        .agg(F.collect_set("_h").alias("_bad"))
+        .withColumnRenamed("_id", id_col)
+    )
+    out = base.join(bad, id_col, "left")
+    kept = F.expr(
+        f"filter(_lines, l -> trim(l) = '' OR _bad IS NULL"
+        f" OR NOT array_contains(_bad, {line_hash}))"
+    )
+    return (
+        out.withColumn("_kept", kept)
+        .withColumn("n_removed", F.col("n_lines") - F.size("_kept"))
+        .withColumn("cleaned", F.array_join("_kept", "\n"))
+        .drop("_lines", "_kept", "_bad")
+    )
+
+
+def strip_boilerplate_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> str:
+    """DuckDB twin on line STRINGS (independent of xxhash64): per-doc
+    md5 of the cleaned text plus removal counts."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, string_split({text_col}, chr(10)) AS ls
+  FROM {table}
+),
+occ AS (
+  SELECT DISTINCT _id, trim(u.l) AS t
+  FROM base, unnest(ls) AS u(l)
+  WHERE trim(u.l) != ''
+),
+boiler AS (
+  SELECT t FROM occ GROUP BY 1 HAVING count(*) >= {min_docs}
+),
+bl AS (
+  SELECT coalesce(list(t), []) AS bs FROM boiler
+),
+rebuilt AS (
+  SELECT _id, len(ls) AS n_lines,
+         list_filter(ls, l -> trim(l) = ''
+                     OR NOT list_contains(bl.bs, trim(l))) AS kept
+  FROM base, bl
+)
+SELECT _id AS {id_col}, n_lines,
+       n_lines - len(kept) AS n_removed,
+       md5(array_to_string(kept, chr(10))) AS cleaned_md5
+FROM rebuilt
+""".strip()

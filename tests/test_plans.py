@@ -636,3 +636,21 @@ def test_bloom_decontaminate_corpus_never_shuffles(spark):
     assert not any("Python" in n or "Arrow" in n for n in nodes)
     assert nodes.count("Exchange") == 1
     assert "SortMergeJoin" not in nodes
+
+
+def test_strip_boilerplate_text_never_rides_frequency_exchange(spark):
+    """strip_boilerplate: the line-frequency and removed-hash-set
+    aggregations exchange bare (hash, id) columns; text rides at most the
+    final by-id join-back — and nothing goes through Python."""
+    from beats_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES["strip_boilerplate"](spark, SF_SMOKE))
+    nodes = _nodes(plan)
+    text_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line and "text" in line
+    ]
+    assert len(text_exchanges) == 0
+    assert not any("Python" in n or "Arrow" in n for n in nodes)
+    assert "CartesianProduct" not in nodes
+    assert "SortMergeJoin" not in nodes

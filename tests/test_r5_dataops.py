@@ -139,3 +139,46 @@ class TestBloomDecontaminate:
         for i in range(k):
             pos = (h1 + i * h2) % m
             assert (bitmap[pos // 32] >> (pos % 32)) & 1 == 1
+
+
+class TestStripBoilerplate:
+    def test_planted_boilerplate_removed_rare_lines_survive(self, spark):
+        rows = [
+            (i, f"HEADER\nbody text {i}\nFOOTER\nref: doc-{i}")
+            for i in range(20)
+        ] + [(99, "HEADER\nlonely body\nunique footer")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               X.strip_boilerplate(df, min_docs=10).collect()}
+        # HEADER/FOOTER appear in >= 10 docs -> removed everywhere;
+        # body and ref lines are unique -> kept
+        assert out[0]["n_removed"] == 2
+        assert out[0]["cleaned"] == "body text 0\nref: doc-0"
+        # doc 99 shares only HEADER with the crowd
+        assert out[99]["n_removed"] == 1
+        assert out[99]["cleaned"] == "lonely body\nunique footer"
+
+    def test_matching_is_on_trimmed_form_original_spelling_kept(self, spark):
+        rows = [(i, f"  NAV  \nkeep {i}") for i in range(12)]
+        rows.append((50, "   NAV\nme too"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["cleaned"] for r in
+               X.strip_boilerplate(df, min_docs=10).collect()}
+        # '  NAV  ' and '   NAV' trim to the same line -> both removed
+        # (trim strips SPACES in both engines; tabs are content)
+        assert out[0] == "keep 0"
+        assert out[50] == "me too"
+
+    def test_blank_lines_always_survive(self, spark):
+        rows = [(i, f"SAME\n\nbody {i}\n ") for i in range(15)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r0 = X.strip_boilerplate(df, min_docs=10).where("doc_id = 0").first()
+        # SAME removed; the empty line and the whitespace-only line stay
+        assert r0["cleaned"] == "\nbody 0\n "
+        assert r0["n_removed"] == 1
+
+    def test_below_threshold_untouched(self, spark):
+        rows = [(i, f"RARE\nbody {i}") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = X.strip_boilerplate(df, min_docs=10)
+        assert out.agg(F.sum("n_removed")).first()[0] == 0
