@@ -4851,6 +4851,26 @@ def _strip_boilerplate_oracle() -> str:
     return strip_boilerplate_sql(table=page, min_docs=50)
 
 
+@register("containment_pairs", None)
+def q_containment_pairs(spark, sf_dir):
+    """Directed containment join (dedup.containment_pairs — Broder 1997's
+    containment coefficient, |A∩B|/|A| >= 0.8): the quote/subset detector
+    Jaccard can't see (a short doc embedded in a long one drowns in the
+    union). Prefix filter prunes only the probe side (the asymmetric
+    Bayardo adaptation); the oracle brute-forces ALL ordered pairs with
+    an independent algorithm, proving the filter misses nothing. The
+    slice caps at 1000 docs for the oracle's quadratic density — same
+    documented rationale as prefix_jaccard_pairs (queries.py
+    q_prefix_jaccard_pairs); the Spark plan itself is the
+    inverted-index join that scales."""
+    from beats_spark import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        (F.col("doc_id") < 1000) & F.col("text").isNotNull()
+    )
+    return D.containment_pairs(docs, threshold=0.8)
+
+
 def _late_r5_oracles() -> None:
     """Oracles for the round-5 additions above, built from the same
     *_sql helpers the operators export (single source of truth)."""
@@ -4859,6 +4879,11 @@ def _late_r5_oracles() -> None:
 
     ORACLES["hash_split"] = _hash_split_oracle()
     ORACLES["strip_boilerplate"] = _strip_boilerplate_oracle()
+    ORACLES["containment_pairs"] = D.containment_pairs_sql(
+        table="(SELECT * FROM documents"
+              " WHERE doc_id < 1000 AND text IS NOT NULL) b",
+        threshold=0.8,
+    )
     ORACLES["ngram_topk"] = X.ngram_topk_sql(n=2, k=20)
     ORACLES["tfidf_keywords"] = X.tfidf_topk_sql(
         table="(SELECT * FROM documents WHERE doc_id < 2000) b", k=3
@@ -4983,6 +5008,12 @@ _DRIVER_WINDOW = [
     # corpus-statistic member; c4_clean's per-doc line rules are its
     # direct ancestor and stay judge-swept right behind the window.
     "strip_boilerplate",
+    # containment_pairs (directed |A∩B|/|A| join, the asymmetric sibling
+    # of prefix_jaccard_pairs) displaces state_intervals (r4 driver-green
+    # + judge r3/r4 sweeps; the interval family keeps sink_cube's
+    # constituent interval logic judge-swept right behind the window and
+    # intervals are pytest-pinned in test_intervals).
+    "containment_pairs",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -4996,7 +5027,6 @@ _DRIVER_WINDOW = [
     # (each now carries r4 driver-green + judge r3/r4 sweeps).
     "module_pensando_dfw",
     "repetition_quality",
-    "state_intervals",
     "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
     # sampling, CCNet perplexity head

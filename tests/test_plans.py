@@ -654,3 +654,16 @@ def test_strip_boilerplate_text_never_rides_frequency_exchange(spark):
     assert not any("Python" in n or "Arrow" in n for n in nodes)
     assert "CartesianProduct" not in nodes
     assert "SortMergeJoin" not in nodes
+
+
+def test_containment_pairs_no_cross_join_arrays_off_exchange(spark):
+    """Containment candidates ride the prefix-token equi-join as bare
+    (id, size) rows; gram arrays join back BY ID for the verify — no
+    cartesian product, no Python."""
+    from beats_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES["containment_pairs"](spark, SF_SMOKE))
+    nodes = _nodes(plan)
+    assert "CartesianProduct" not in nodes
+    assert "BroadcastNestedLoopJoin" not in nodes
+    assert not any("Python" in n or "Arrow" in n for n in nodes)

@@ -182,3 +182,48 @@ class TestStripBoilerplate:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = X.strip_boilerplate(df, min_docs=10)
         assert out.agg(F.sum("n_removed")).first()[0] == 0
+
+
+class TestContainmentPairs:
+    def test_quote_detection_and_asymmetry(self, spark):
+        # doc 2 is a verbatim quote of half of doc 1: containment(2->1)
+        # is high, containment(1->2) is low, and Jaccard sees neither.
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        quote = "alpha beta gamma delta epsilon"
+        df = spark.createDataFrame(
+            [(1, long), (2, quote), (3, "totally unrelated words here now")],
+            "doc_id long, text string",
+        )
+        got = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in D.containment_pairs(df, threshold=0.8, ngram_n=3)
+               .collect()}
+        assert (2, 1) in got and got[(2, 1)] == 1.0
+        assert (1, 2) not in got        # asymmetric by construction
+        assert not any(3 in pair for pair in got)
+
+    def test_prefix_filter_misses_nothing_vs_brute_force(self, spark):
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").where(
+            (F.col("doc_id") < 120) & F.col("text").isNotNull()
+        )
+        got = {(r["id_a"], r["id_b"])
+               for r in D.containment_pairs(docs, threshold=0.8).collect()}
+        rows = docs.select("doc_id", "text").collect()
+
+        def gramset(t, n=3):
+            tk = t.strip().lower().split()
+            return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+        sets = {r["doc_id"]: gramset(r["text"]) for r in rows}
+        want = {
+            (a, b)
+            for a in sets for b in sets
+            if a != b and sets[a]
+            and len(sets[a] & sets[b]) >= 0.8 * len(sets[a])
+        }
+        assert got == want
+
+    def test_short_docs_yield_no_pairs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two"), (2, "one two")], "doc_id long, text string"
+        )
+        assert D.containment_pairs(df, ngram_n=3).count() == 0

@@ -418,3 +418,64 @@ def test_stream_dns_enrich_equals_batch(spark, tmp_path):
     assert got == want
     assert want[("e1",)] == (["one.example"], [])
     assert want[("e3",)] == (None, ["_dns_fail"])
+
+
+def test_stream_hash_split_equals_batch(spark, tmp_path):
+    """hash_split is a stateless map-only CASE chain — streamable as-is,
+    and the assignment must match batch exactly (the property that lets a
+    streaming ingest pipeline tag train/val/test at arrival time and
+    never disagree with a later batch backfill)."""
+    from beats_spark.sampling import hash_split
+
+    schema = "doc_id long, text string"
+    rows = [(i, f"doc {i}") for i in range(200)]
+    src = tmp_path / "split_src"
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(str(src))
+
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    got = {
+        r.doc_id: r.split
+        for r in _run_memory_stream(
+            spark, hash_split(sdf).select("doc_id", "split"), "split_t"
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.split
+        for r in hash_split(spark.read.parquet(str(src)))
+        .select("doc_id", "split").collect()
+    }
+    assert got == want and len(got) == 200
+
+
+def test_stream_bloom_membership_equals_batch(spark, tmp_path):
+    """The Bloom bitmap is a static side input (built once from the probe
+    corpus, refreshed out-of-band); the membership test is a stateless
+    stream-static one-row join, so streaming flags must equal batch."""
+    from beats_spark import dedup as D
+
+    probe = spark.createDataFrame(
+        [(100 + i, "shared benchmark prompt " + " ".join(["tok"] * 12))
+         for i in range(3)],
+        "doc_id long, text string",
+    )
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "shared benchmark prompt " + " ".join(["tok"] * 12)),
+        (2, "completely different content with many unique words here"),
+        (3, None),
+    ]
+    src = tmp_path / "bloom_src"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    def apply(df):
+        return D.bloom_decontaminate(df, probe, n=13).select(
+            "doc_id", "contaminated"
+        )
+
+    sdf = spark.readStream.schema(schema).parquet(str(src))
+    got = {r.doc_id: r.contaminated
+           for r in _run_memory_stream(spark, apply(sdf), "bloom_t").collect()}
+    want = {r.doc_id: r.contaminated
+            for r in apply(spark.read.parquet(str(src))).collect()}
+    assert got == want
+    assert want[1] is True and want[2] is False and want[3] is False
