@@ -359,3 +359,59 @@ def test_cdc_chunks_match_python_reference(spark, texts):
            for r in cdc_chunk_hashes(docs, k=k, zero_prefix=z).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (i, t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=10.0,
+                       allow_nan=False), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=10**9),
+)
+def test_hash_split_total_partition_any_weights(weights, doc_id):
+    """For ANY positive weight vector, the threshold chain partitions the
+    whole 16^8 decision space: every id lands in exactly one split, and
+    the last threshold is the space top."""
+    import hashlib as hl
+
+    from beats_spark.sampling import _HEX_SPACE, _split_thresholds
+
+    names = [f"s{i}" for i in range(len(weights))]
+    ths = _split_thresholds(dict(zip(names, weights)))
+    assert ths[-1][1] == format(_HEX_SPACE, "09x")
+    # thresholds are monotone non-decreasing 9-hex strings
+    assert [t for _, t in ths] == sorted(t for _, t in ths)
+    hexv = "0" + hl.md5(f"{doc_id}:split".encode()).hexdigest()[:8]
+    hits = [n for n, t in ths if hexv < t]
+    assert hits  # at least the last split always catches
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=40),
+                min_size=2, max_size=6))
+def test_containment_prefix_filter_equals_brute_force(spark, texts):
+    """On arbitrary tiny corpora the prefix-filtered join returns EXACTLY
+    the brute-force containment pairs — no false dismissals from the
+    prefix/size pruning, at a threshold that exercises partial overlap."""
+    from beats_spark.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"])
+           for r in containment_pairs(docs, threshold=0.6, ngram_n=2)
+           .collect()}
+
+    def gramset(t, n=2):
+        tk = t.strip().lower().split()
+        if len(tk) < n:
+            return set()
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+
+    sets = {i: gramset(t) for i, t in enumerate(texts)}
+    want = {
+        (a, b)
+        for a in sets for b in sets
+        if a != b and sets[a]
+        and len(sets[a] & sets[b]) >= 0.6 * len(sets[a])
+    }
+    assert got == want
