@@ -99,7 +99,40 @@ def ratelimit(
     )
 
 
+def _sample_hex(key_fields: list[str]):
+    """8-hex md5 prefix of the null-safe concatenated key — the same
+    decision machinery as beats_spark.sampling (md5 exists identically in
+    Spark, DuckDB and hashlib, so the keep decision is oracle-able; the
+    previous xxhash64 bucket was engine-private)."""
+    parts = [
+        F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+        for k in key_fields
+    ]
+    return F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8)
+
+
 def sample(df: DataFrame, fraction: float, key_fields: list[str]) -> DataFrame:
-    """Deterministic hash sampling on a key (no RNG → reproducible)."""
-    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in key_fields]), F.lit(10_000))
-    return df.filter(bucket < int(fraction * 10_000))
+    """Deterministic hash sampling on a key (no RNG → reproducible under
+    repartitioning, retries and reruns; same md5-threshold decision family
+    as beats_spark.sampling, resolution 1/2^32)."""
+    from beats_spark.sampling import _hex_threshold
+
+    if fraction >= 1.0:
+        return df
+    return df.filter(_sample_hex(key_fields) < F.lit(_hex_threshold(fraction)))
+
+
+def sample_sql(fraction: float, key_fields: list[str]) -> str:
+    """DuckDB twin of sample()'s keep predicate."""
+    from beats_spark.sampling import _hex_threshold
+
+    if fraction >= 1.0:
+        return "TRUE"
+    parts = ", ".join(
+        f"coalesce(CAST({k} AS VARCHAR), chr(0) || 'null')"
+        for k in key_fields
+    )
+    return (
+        f"substr(md5(concat_ws(chr(31), {parts})), 1, 8)"
+        f" < '{_hex_threshold(fraction)}'"
+    )

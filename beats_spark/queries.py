@@ -4851,6 +4851,44 @@ def _strip_boilerplate_oracle() -> str:
     return strip_boilerplate_sql(table=page, min_docs=50)
 
 
+_SAMPLE_GATE_COND = {"has_fields": ["tool", "text"]}
+
+
+def _sample_gate_oracle() -> str:
+    from beats_spark.operators.filter import sample_sql
+
+    return (
+        oracle_cte()
+        + f"""
+SELECT role, count(*) AS n, CAST(sum(turn_idx) AS BIGINT) AS sum_turn
+FROM transcripts
+WHERE {condition_sql(_SAMPLE_GATE_COND)}
+  AND {sample_sql(0.35, ["conv_id", "turn_idx"])}
+GROUP BY role
+"""
+    )
+
+
+@register("sample_gate", None)
+def q_sample_gate(spark, sf_dir):
+    """has_fields condition + the sample processor through the driver
+    gate: keep turns where tool AND text are present (actions/
+    add_fields.go's has_fields condition, conditions/conditions.go), then
+    deterministically sample 35% keyed on (conv_id, turn_idx). sample()
+    now decides from the md5(key) 8-hex prefix — the same threshold
+    machinery as beats_spark.sampling — so the previously engine-private
+    xxhash64 bucket is gone and the keep decision replays exactly in
+    DuckDB. Map-only until the final groupBy; both predicates reach the
+    scan."""
+    t = load_transcripts(spark, sf_dir)
+    t = FL.keep_event(t, _SAMPLE_GATE_COND)
+    t = FL.sample(t, 0.35, ["conv_id", "turn_idx"])
+    return t.groupBy("role").agg(
+        F.count("*").alias("n"),
+        F.sum("turn_idx").cast("long").alias("sum_turn"),
+    )
+
+
 @register("containment_pairs", None)
 def q_containment_pairs(spark, sf_dir):
     """Directed containment join (dedup.containment_pairs — Broder 1997's
@@ -4879,6 +4917,7 @@ def _late_r5_oracles() -> None:
 
     ORACLES["hash_split"] = _hash_split_oracle()
     ORACLES["strip_boilerplate"] = _strip_boilerplate_oracle()
+    ORACLES["sample_gate"] = _sample_gate_oracle()
     ORACLES["containment_pairs"] = D.containment_pairs_sql(
         table="(SELECT * FROM documents"
               " WHERE doc_id < 1000 AND text IS NOT NULL) b",
@@ -5014,6 +5053,12 @@ _DRIVER_WINDOW = [
     # constituent interval logic judge-swept right behind the window and
     # intervals are pytest-pinned in test_intervals).
     "containment_pairs",
+    # sample_gate (has_fields + the sample processor, newly md5-decided
+    # and therefore newly ORACLE-ABLE — a behavior change that must be
+    # driver-verified) displaces module_pensando_dfw (r4 driver-green +
+    # judge r3/r4 sweeps; the grok-bank family keeps module_system_auth +
+    # module_iis_error in-window, apache/kafka right behind).
+    "sample_gate",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -5025,7 +5070,6 @@ _DRIVER_WINDOW = [
     # decontaminate / gopher_filter / transcript_curation / asof_enrich
     # rotated out this session for the four second-session additions above
     # (each now carries r4 driver-green + judge r3/r4 sweeps).
-    "module_pensando_dfw",
     "repetition_quality",
     "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota

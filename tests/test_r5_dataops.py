@@ -227,3 +227,29 @@ class TestContainmentPairs:
             [(1, "one two"), (2, "one two")], "doc_id long, text string"
         )
         assert D.containment_pairs(df, ngram_n=3).count() == 0
+
+
+class TestSampleProcessor:
+    def test_md5_decision_matches_python_recompute(self, spark):
+        from beats_spark.operators import filter as FL
+        from beats_spark.sampling import _hex_threshold
+
+        rows = [(f"conv-{i % 7}", i) for i in range(300)] + [(None, 999)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx long")
+        kept = {(r["conv_id"], r["turn_idx"]) for r in
+                FL.sample(df, 0.35, ["conv_id", "turn_idx"]).collect()}
+        th = _hex_threshold(0.35)
+        want = set()
+        for c, t in rows:
+            key = f"{c if c is not None else chr(0) + 'null'}\x1f{t}"
+            if hashlib.md5(key.encode()).hexdigest()[:8] < th:
+                want.add((c, t))
+        assert kept == want
+        # and the realized fraction is in the right neighborhood
+        assert 0.25 < len(kept) / len(rows) < 0.45
+
+    def test_fraction_one_keeps_everything(self, spark):
+        from beats_spark.operators import filter as FL
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        assert FL.sample(df, 1.0, ["k"]).count() == 10
