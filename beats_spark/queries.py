@@ -4592,7 +4592,9 @@ SELECT conv_id, turn_idx,
        'prod' AS f_env, 'engine' AS f_svc, '5' AS f_ver,
        'data' AS l_team, 'gold' AS l_tier, 'a,b' AS l_zones,
        'beats,extra,prod' AS tags_sorted,
-       'x,' || role AS related
+       'x,' || role AS related,
+       'ip-10-0-0-7' AS host_name, 'linux' AS host_os,
+       'us-east-1' AS cloud_region
 FROM transcripts
 """,
 )
@@ -4602,9 +4604,12 @@ def q_event_stamp(spark, sf_dir):
     event.go:125-133 — second call's new keys win, first call's
     untouched keys survive), add_labels flattening (add_labels.go:36-44:
     nested dicts dot-flatten, lists comma-join), add_tags dedup union
-    (add_tags.go:38-47 — 'beats' appended twice lands once), and append
-    (append.go:37-43: constants + another field's value). All pure
-    Column literals/array ops; the oracle re-states every stamp."""
+    (add_tags.go:38-47 — 'beats' appended twice lands once), append
+    (append.go:37-43: constants + another field's value), and the
+    constant-struct metadata family add_host/observer/cloud_metadata
+    (add_host_metadata/add_host_metadata.go:50 — struct of constants
+    computed once, selected back out field-by-field). All pure Column
+    literals/array ops; the oracle re-states every stamp."""
     from beats_spark.operators import enrich as EE
 
     t = load_transcripts(spark, sf_dir)
@@ -4616,6 +4621,10 @@ def q_event_stamp(spark, sf_dir):
     t = EE.add_tags(t, ["prod", "beats"])
     t = EE.add_tags(t, ["beats", "extra"])
     t = EE.append_fields(t, "related", values=["x"], fields=["role"])
+    t = EE.add_constant_metadata(
+        t, "host", {"name": "ip-10-0-0-7", "os": "linux"}
+    )
+    t = EE.add_constant_metadata(t, "cloud", {"region": "us-east-1"})
     return t.select(
         "conv_id",
         "turn_idx",
@@ -4627,6 +4636,9 @@ def q_event_stamp(spark, sf_dir):
         F.col("labels")["zones"].alias("l_zones"),
         F.array_join(F.array_sort("tags"), ",").alias("tags_sorted"),
         F.array_join("related", ",").alias("related"),
+        F.col("host")["name"].alias("host_name"),
+        F.col("host")["os"].alias("host_os"),
+        F.col("cloud")["region"].alias("cloud_region"),
     )
 
 
