@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from beats_spark.scale import truncate_lineage
+
 # tiny per-language stopword banks (public common-word lists); the heuristic
 # is argmax of distinct-stopword hits, ties broken by language code order
 STOPWORDS: dict[str, list[str]] = {
@@ -1428,11 +1430,14 @@ def tfidf_topk(
     bit-identical across engines, while ln() is not). Ties break by term
     ascending. Returns (id, term, tf, df, rank).
 
-    Scale shape: two vocabulary-keyed shuffles — (id, term) tf counts and
-    term→df counts — joined hash-on-term (the df side is vocabulary-sized;
-    at web scale both sides partial-aggregate map-side and neither carries
-    text beyond the term itself). The per-document top-k window partitions
-    by id, so its sort is bounded by a single document's vocabulary.
+    Scale shape: ONE corpus scan + token explode feeding an (id, term)
+    tf aggregate, materialized (lineage cut) so document frequency
+    re-aggregates the tf table itself (one row per (doc, term) ⇒ count
+    per term = df) instead of re-scanning the corpus — plan-gated to a
+    single FileScan. Both aggregates partial-combine map-side and
+    nothing beyond the term string rides a shuffle. The per-document
+    top-k window partitions by id, so its sort is bounded by a single
+    document's vocabulary.
 
     Reference parity note: no analogue in mjwolf/beats (training-data
     mandate); standard corpus keyword/labeling primitive (Salton & Buckley
@@ -1444,12 +1449,19 @@ def tfidf_topk(
                 F.explode(tokens(F.col(text_col))).alias("term"))
         .where(F.col("term") != "")
     )
-    tf = terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    # df derives FROM the materialized tf table (one row per (doc, term),
+    # so a count per term IS the document frequency): the corpus is
+    # scanned and token-exploded ONCE. The lineage cut is load-bearing —
+    # without it Catalyst prunes the df branch into a separate distinct
+    # whose exchange differs from the join branch's, so ReuseExchange
+    # can't kick in and the 100 TB side is scanned twice (observed; a
+    # dummy max(tf) to force matching subtrees gets optimized away too).
+    # Same trade as minhash's signature frame (truncate_lineage at
+    # dedup.py): bare (id, term, tf) triples, far smaller than the text.
+    tf = truncate_lineage(
+        terms.groupBy("_id", "term").agg(F.count("*").alias("tf"))
     )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(dfreq, "term").withColumn(
         "_score", F.col("tf").cast("double") / F.col("df")
     )

@@ -611,15 +611,22 @@ def test_ngram_topk_bounded_heap_no_global_sort(spark):
     assert not any("Python" in n or "Arrow" in n for n in nodes)
 
 
-def test_tfidf_keywords_stays_jvm_side(spark):
+def test_tfidf_keywords_stays_jvm_side_single_corpus_scan(spark):
     """tf-idf ranking is joins + window over bare (id, term, counts) —
-    no Python, no cartesian/broadcast-nested-loop blowup."""
+    no Python, no cartesian/broadcast-nested-loop blowup — and the
+    corpus is scanned ONCE: the tf table is materialized (lineage cut)
+    and document frequency re-aggregates it, so the final plan reads the
+    checkpointed RDD twice and parquet zero times. A parquet scan
+    reappearing here means the df branch went back to re-reading the
+    100 TB side."""
     from beats_spark.queries import QUERIES
 
-    nodes = _nodes(_formatted_plan(QUERIES["tfidf_keywords"](spark, SF_SMOKE)))
+    plan = _formatted_plan(QUERIES["tfidf_keywords"](spark, SF_SMOKE))
+    nodes = _nodes(plan)
     assert not any("Python" in n or "Arrow" in n for n in nodes)
     assert "CartesianProduct" not in nodes
     assert "BroadcastNestedLoopJoin" not in nodes
+    assert plan.count("Scan parquet") == 0
 
 
 def test_bloom_decontaminate_corpus_never_shuffles(spark):
