@@ -319,7 +319,16 @@ def _prefix_filter_pairs(base: DataFrame, threshold: float) -> DataFrame:
     exact Jaccard pairs (id_a < id_b, jaccard ≥ threshold) with
     inter_size/union_size. See prefix_filter_jaccard_pairs for the
     algorithm; factored out so n-gram (and any other set representation)
-    reuses the same exact candidate engine."""
+    reuses the same exact candidate engine.
+
+    base feeds FOUR consumers (the inverted-index explode twice — token
+    frequency and the per-doc re-sort join — plus both exact-verify
+    array joins). A truncate_lineage(base) cut was A/B-tested here
+    (fresh-JVM sf0.1, r5 second session): 5.58→6.13 s — the
+    materialization job does NOT repay itself at this path's documented
+    1k-doc oracle caps, where set construction is cheap; containment_pairs
+    (uncapped corpus slice, same shape) keeps the cut because its A/B
+    said 3.58→2.03 s. Re-cut if the caps are lifted."""
     exploded = base.select("_id", F.explode("_g").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
     # order tokens rarest-first with (cnt, g) as the key — no global
@@ -1169,7 +1178,7 @@ def containment_pairs(
         f" i -> concat_ws(' ', slice(_tk, i, {k})))) "
         f"ELSE array() END"
     )
-    base = (
+    base = truncate_lineage(
         df.where(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("_id"),
@@ -1178,6 +1187,8 @@ def containment_pairs(
         .select("_id", grams.alias("_g"))
         .where(F.size("_g") > 0)
     )
+    # lineage cut: base feeds the inverted-index explode (twice) and both
+    # exact-verify array joins — same rationale as _prefix_filter_pairs
     exploded = base.select("_id", F.explode("_g").alias("g"))
     freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
     ranked = (
