@@ -1551,8 +1551,18 @@ def strip_boilerplate(
     line-wise filtering) as applied corpus-wide by Dolma's dedupe pass.
     """
     lines = F.split(F.col(text_col), "\n")
-    base = df.withColumn("_lines", lines).withColumn(
-        "n_lines", F.size("_lines")
+    # lineage cut: base feeds the distinct-line explode (whose output
+    # itself feeds the frequency count AND the per-doc removed-set join)
+    # plus the final rebuild join — THREE corpus text scans without it,
+    # one with it (executed-plan FileScan count 3→0, the scan moving into
+    # the materialization job). Fresh-JVM sf0.1 A/B is wall-neutral
+    # (1.0→1.0 s — the planted test pages are tiny) so the cut is kept
+    # for the scan count alone: at real corpus sizes each avoided
+    # consumer is a full text read.
+    base = truncate_lineage(
+        df.withColumn("_lines", lines).withColumn(
+            "n_lines", F.size("_lines")
+        )
     )
     line_hash = "xxhash64(trim(l))"
     occ = base.select(
