@@ -179,6 +179,38 @@ def lsh_signatures(
     return df.withColumn(target, sig(F.col(vec_col)))
 
 
+def lsh_signatures_all(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    vec_col: str,
+    target: str = "_sigs",
+    seed_base: int = 11,
+) -> DataFrame:
+    """All n_tables hyperplane signatures in ONE Arrow pass: the per-table
+    plane matrices (seeds seed_base + t — bit-identical to calling
+    lsh_signatures per table) stack into a single (dim, T·P) matmul and
+    pack into an array<long> of per-table signatures."""
+    stacked = np.concatenate(
+        [_planes(dim, n_planes, seed_base + t) for t in range(n_tables)],
+        axis=1,
+    )  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_all(s: pd.Series) -> pd.Series:
+        mat = np.stack(s.values).astype(np.float64)          # (batch, dim)
+        bits = (mat @ stacked) > 0                           # (batch, T*P)
+        packed = (
+            bits.reshape(len(mat), -1, len(weights)).astype(np.uint64)
+            @ weights
+        ).astype(np.int64)                                   # (batch, T)
+        return pd.Series(list(packed))
+
+    return df.withColumn(target, sig_all(F.col(vec_col)))
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -192,23 +224,34 @@ def lsh_topk(
 ) -> DataFrame:
     """Bucketed ANN: `n_tables` independent plane sets; candidates = vectors
     sharing a bucket with the query in ANY table; exact cosine + top-k on
-    candidates only. Shuffles are bucket-key joins — no cross join."""
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    candidates only. Shuffles are bucket-key joins — no cross join.
+
+    Each side is scanned ONCE: all table signatures come from a single
+    fused Arrow matmul (lsh_signatures_all) and posexplode to (table,
+    bucket) rows — the previous per-table loop re-scanned the vector
+    table and re-ran the UDF n_tables times per side (18 FileScans at
+    n_tables=8, audited r5 second session), and the projected (id, vec)
+    frames are materialized so the exact-verify joins re-read pinned
+    blocks instead of the store."""
+    from beats_spark.scale import truncate_lineage
+
+    v = truncate_lineage(vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")))
+    q = truncate_lineage(queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")))
 
     # candidates travel as BARE (query_id, neighbor_id) pairs: the bucket
     # joins and the cross-table dropDuplicates exchange never carry the
     # embedding arrays — vectors are joined back BY ID for scoring only
-    cands = None
-    for t in range(n_tables):
-        vs = lsh_signatures(v, dim, n_planes, "_vvec", "_b", seed=11 + t)
-        qs = lsh_signatures(q, dim, n_planes, "_qvec", "_b", seed=11 + t)
-        c = vs.select("_b", "neighbor_id").join(
-            qs.select("_b", "query_id"), "_b"
-        ).select("query_id", "neighbor_id")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    vs = lsh_signatures_all(v, dim, n_planes, n_tables, "_vvec").select(
+        "neighbor_id", F.posexplode("_sigs").alias("_tbl", "_b"))
+    qs = lsh_signatures_all(q, dim, n_planes, n_tables, "_qvec").select(
+        "query_id", F.posexplode("_sigs").alias("_tbl", "_b"))
+    cands = (
+        vs.join(qs, ["_tbl", "_b"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = (
         cands.join(v, "neighbor_id")
