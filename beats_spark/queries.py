@@ -3009,7 +3009,15 @@ def q_curation_funnel(spark, sf_dir):
     # key on doc_id so the corpus shuffles once and the second join reuses
     # the partitioning (no exchange between them)
     key = F.sha2(D2.normalize_text(F.col("cleaned")), 256)
-    keyed = work.withColumn("_k", key)
+    # lineage cut: keyed feeds the dedup rep resolution, its own join-back,
+    # both decontamination gram sides and the dec join-back — without it
+    # the whole normalize→c4→quality chain (including the Arrow
+    # normalize UDF) re-executes per consumer (8 FileScans audited; the
+    # scan-count audit is what turned the docstring's 'one pass' claim
+    # into a checked property)
+    from beats_spark.scale import truncate_lineage as _cut
+
+    keyed = _cut(work.withColumn("_k", key))
     reps = (
         keyed.where("f_q").select("_k", "doc_id")
         .groupBy("_k").agg(F.min("doc_id").alias("doc_id"))
