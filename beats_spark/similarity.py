@@ -417,7 +417,18 @@ def semdedup(
             .orderBy(F.xxhash64(F.col("cell_id")).asc(), F.col("cell_id"))
             .limit(n_cells)
         )
-    va = _assign_cells(v, cents, "_id")
+    # lineage cut: the assignment feeds the pair join twice (a and b
+    # sides) plus the final kept-flag join — without it the broadcast
+    # crossJoin + max_by assignment (|V|·n_cells dot products) and the
+    # embedding scan under it re-execute per consumer (6 FileScans
+    # audited). Fresh-JVM sf0.1 A/B reads 4.87→5.17 s — the cut COSTS a
+    # materialization job at test scale, where the within-cell quadratic
+    # dominates — and is kept anyway: at real corpus sizes re-running the
+    # assignment and re-reading the embedding store 3× is the larger
+    # term, and the within-cell cost is the same either way.
+    from beats_spark.scale import truncate_lineage
+
+    va = truncate_lineage(_assign_cells(v, cents, "_id"))
     a = va.select(
         F.col("cell_id"), F.col("_id").alias("_ida"), F.col("_vvec").alias("_va")
     )
