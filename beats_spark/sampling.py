@@ -234,7 +234,15 @@ def dsir_weights(
     than two tokens weigh 0. Laplace-smoothed (+1 per bucket), so buckets
     unseen in the target are penalties, not -inf.
     """
-    pairs = _dsir_pairs(df, is_target, text_col, id_col)
+    # lineage cut: pairs feeds the distribution aggregate, its totals
+    # re-aggregation, and the per-doc weight sum — three executions of the
+    # corpus explode without it (5 FileScans audited in the r5 second
+    # session's scan audit; fresh-JVM sf0.1 A/B on dsir_select:
+    # 5.6→1.6 s). The materialized rows are bare
+    # (id, bool, int16-sized bucket) triples.
+    from beats_spark.scale import truncate_lineage
+
+    pairs = truncate_lineage(_dsir_pairs(df, is_target, text_col, id_col))
     dist = pairs.groupBy("_b").agg(
         F.count("*").alias("_rc"),
         F.count(F.when(F.col("_t"), 1)).alias("_tc"),
@@ -400,6 +408,10 @@ def lm_nll_scores(
     'head'). All smoothing uses the 4096-bucket space."""
     pos = _lm_positions(df, is_target, text_col, id_col)
     B = float(_DSIR_BUCKETS)
+    # same cut as dsir_weights: pos feeds c2, c1 and the per-doc sum
+    from beats_spark.scale import truncate_lineage
+
+    pos = truncate_lineage(pos)
     c2 = (
         pos.filter("_t").groupBy("_b2").agg(F.count("*").alias("_c2"))
     )
