@@ -331,12 +331,16 @@ def lsh_topk_data_planes(
         ((F.col(id_col) - plane_id_start) % n_planes).alias("_bit"),
         F.col(vec_col).alias("_pvec"),
     )
-    v = vectors.select(
+    from beats_spark.scale import truncate_lineage
+
+    # lineage cut: each side feeds its signature aggregation AND the
+    # exact-verify join-back — two reads of the embedding store without it
+    v = truncate_lineage(vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec")
-    )
-    q = queries.select(
+    ))
+    q = truncate_lineage(queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+    ))
 
     def sigs(side: DataFrame, idn: str, vecn: str) -> DataFrame:
         weight = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_bit AS INT))")
