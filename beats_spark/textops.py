@@ -606,6 +606,11 @@ def bm25_topk(
             else t == F.lit(terms[0])
         ).alias("_hits"),
     )
+    # lineage cut: base feeds the tf aggregate AND the corpus stats row
+    # (and tf itself feeds dfreq plus the contribution join) — two corpus
+    # scans without it; the materialized rows are (id, dl, matching-terms
+    # array) — query-hit terms only, corpus text never materializes
+    base = truncate_lineage(base)
     tf = (
         base.select("_id", "_dl", F.explode("_hits").alias("_term"))
         .groupBy("_id", "_dl", "_term")
