@@ -1275,3 +1275,51 @@ SELECT id_a, id_b, inter_size, size_a,
        round(CAST(inter_size AS DOUBLE) / size_a, 6) AS containment
 FROM pairs WHERE inter_size >= {threshold} * size_a
 """.strip()
+
+
+def hash_embedding_series(texts: pd.Series, dim: int = 64) -> pd.Series:
+    """Model-free deterministic document embedding by feature hashing
+    (Weinberger et al. 2009's hashing trick with ±1 signs): component j =
+    Σ_tokens (+1 if bit j of md5(token) else -1) — exactly the simhash
+    vote vector BEFORE sign compression, kept dense so it can feed the
+    ANN/SemDeDup stack when no learned model is available. Same
+    batch-vectorized kernel as simhash_series (md5 once per UNIQUE token,
+    numpy segment sums); dim ≤ 64 uses the token hash's bits directly."""
+    assert dim <= 64
+    tok_lists = texts.map(
+        lambda t: str(t).lower().split() if t is not None else []
+    )
+    lengths = tok_lists.map(len).to_numpy()
+    n_docs = len(texts)
+    if lengths.sum() == 0:
+        return pd.Series([[0] * dim] * n_docs, index=texts.index)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    hashes = _md5_token_hashes(flat)
+    bits = ((hashes[:, None] >> np.arange(dim, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)  # (N, dim)
+    doc_ids = np.repeat(np.arange(n_docs), lengths)
+    sums = np.zeros((n_docs, dim), dtype=np.int64)
+    np.add.at(sums, doc_ids, bits)
+    votes = sums * 2 - lengths[:, None]
+    return pd.Series(list(votes), index=texts.index)
+
+
+def hash_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    target: str = "hash_emb",
+) -> DataFrame:
+    """Attach the feature-hashing embedding as array<long>. Map-only Arrow
+    kernel — the output vectors plug directly into similarity.cosine_topk /
+    lsh_topk / semdedup (cast to float as needed), giving the full ANN and
+    semantic-dedup stack a deterministic, model-free input column.
+
+    Reference parity note: no analogue in mjwolf/beats (training-data
+    mandate)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return hash_embedding_series(s, dim)
+
+    return df.withColumn(target, _udf(F.col(text_col)))

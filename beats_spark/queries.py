@@ -4871,6 +4871,63 @@ def _strip_boilerplate_oracle() -> str:
     return strip_boilerplate_sql(table=page, min_docs=50)
 
 
+# DuckDB recompute of the feature-hashing embedding: same md5 bit
+# extraction as the simhash oracle, votes kept dense (ordered 0..63) and
+# digested per doc. L1 norm as an exact-integer cross-check.
+_HASH_EMBED_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 1500
+),
+th AS (SELECT doc_id, md5(t.t) AS h FROM d, unnest(toks) AS t(t)),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         CAST(sum(CASE WHEN ((strpos('0123456789abcdef',
+                                     substr(h, 16 - (bb.b // 4), 1)) - 1)
+                             >> (bb.b % 4)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       md5(array_to_string(list(vote ORDER BY b), ',')) AS emb_md5,
+       CAST(sum(abs(vote)) AS BIGINT) AS l1_norm
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("hash_embed", _HASH_EMBED_ORACLE)
+def q_hash_embed(spark, sf_dir):
+    """Model-free document embeddings by feature hashing
+    (dedup.hash_embedding — Weinberger et al. 2009 with ±1 md5-bit signs;
+    the simhash vote vector kept dense). Gives the ANN / SemDeDup stack a
+    deterministic input column when no learned model ships. Map-only
+    Arrow kernel, md5 once per unique token per batch; the oracle
+    re-derives every bit from the hex digest exactly as the simhash
+    oracle does and compares a per-doc vector digest plus the exact
+    integer L1 norm."""
+    from beats_spark import dedup as D
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 1500)
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+    out = D.hash_embedding(docs, dim=64)
+    emb_str = F.array_join(
+        F.transform(F.col("hash_emb"), lambda x: x.cast("string")), ","
+    )
+    l1 = F.aggregate(
+        F.col("hash_emb"), F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    return out.select(
+        "doc_id",
+        F.md5(emb_str).alias("emb_md5"),
+        l1.alias("l1_norm"),
+    )
+
+
 _SAMPLE_GATE_COND = {"has_fields": ["tool", "text"]}
 
 
@@ -5079,6 +5136,12 @@ _DRIVER_WINDOW = [
     # judge r3/r4 sweeps; the grok-bank family keeps module_system_auth +
     # module_iis_error in-window, apache/kafka right behind).
     "sample_gate",
+    # hash_embed (feature-hashing embeddings, the dense twin of the
+    # in-window simhash_pairs kernel) displaces repetition_quality (r4
+    # driver-green + judge r3/r4 sweeps; the quality family keeps
+    # strip_boilerplate in-window with text_quality / gopher_filter /
+    # conv_quality judge-swept right behind).
+    "hash_embed",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -5090,7 +5153,6 @@ _DRIVER_WINDOW = [
     # decontaminate / gopher_filter / transcript_curation / asof_enrich
     # rotated out this session for the four second-session additions above
     # (each now carries r4 driver-green + judge r3/r4 sweeps).
-    "repetition_quality",
     "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
     # sampling, CCNet perplexity head

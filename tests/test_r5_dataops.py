@@ -253,3 +253,48 @@ class TestSampleProcessor:
 
         df = spark.createDataFrame([(i,) for i in range(10)], "k long")
         assert FL.sample(df, 1.0, ["k"]).count() == 10
+
+
+class TestHashEmbedding:
+    def test_sign_compression_equals_simhash(self, spark):
+        """Signing the dense embedding must reproduce the simhash bits —
+        they share one kernel by construction."""
+        import numpy as np
+
+        from beats_spark.dedup import hash_embedding_series, simhash_series
+        import pandas as pd
+
+        texts = pd.Series(["alpha beta gamma", "one two", "solo", ""])
+        votes = hash_embedding_series(texts)
+        sigs = simhash_series(texts)
+        for v, sig in zip(votes, sigs):
+            packed = sum(
+                (1 << j) for j, x in enumerate(np.asarray(v)) if x > 0
+            )
+            assert packed == int(np.uint64(np.int64(sig)))
+
+    def test_additivity_and_empty(self, spark):
+        """Embeddings are additive over tokens (a bag-of-words sum): the
+        embedding of 'a b' equals emb('a') + emb('b'); empty text is the
+        zero vector."""
+        import numpy as np
+        import pandas as pd
+
+        from beats_spark.dedup import hash_embedding_series
+
+        e = hash_embedding_series(pd.Series(["a b", "a", "b", ""]))
+        assert (np.asarray(e[0]) == np.asarray(e[1]) + np.asarray(e[2])).all()
+        assert (np.asarray(e[3]) == 0).all()
+
+    def test_spark_column_matches_kernel(self, spark):
+        from beats_spark.dedup import hash_embedding, hash_embedding_series
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r["hash_emb"]
+                for r in hash_embedding(df).collect()}
+        want = hash_embedding_series(pd.Series(["hello world"]))[0]
+        assert rows[1] == list(want)
+        assert rows[2] == [0] * 64
