@@ -4928,6 +4928,82 @@ def q_hash_embed(spark, sf_dir):
     )
 
 
+# Brute-force cosine top-k over the feature-hashing embeddings, fully
+# re-derived in DuckDB: md5 bits → dense votes → integer dot products →
+# IEEE cosine (every operation correctly rounded, so the doubles are
+# bit-identical cross-engine — vote values keep all products under 2^53).
+_HASH_EMBED_TOPK_ORACLE = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 400
+),
+th AS (SELECT doc_id, md5(t.t) AS h FROM d, unnest(toks) AS t(t)),
+bits AS (
+  SELECT doc_id, bb.b AS b,
+         CAST(sum(CASE WHEN ((strpos('0123456789abcdef',
+                                     substr(h, 16 - (bb.b // 4), 1)) - 1)
+                             >> (bb.b % 4)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY 1, 2
+),
+emb AS (
+  SELECT doc_id, list(vote ORDER BY b) AS v FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      i -> q.v[i] * n.v[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                                 i -> q.v[i] * q.v[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                                   i -> n.v[i] * n.v[i])) AS DOUBLE)))
+           AS score
+  FROM emb q JOIN emb n ON q.doc_id % 50 = 0 AND q.doc_id != n.doc_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("hash_embed_topk", _HASH_EMBED_TOPK_ORACLE)
+def q_hash_embed_topk(spark, sf_dir):
+    """The composed stack: feature-hashing embeddings feeding brute-force
+    cosine top-k (similarity.cosine_topk) — model-free nearest-neighbor
+    search over raw text, END-TO-END oracled (unlike the learned-
+    embedding listings, which are rows-only with oracled recall twins):
+    DuckDB re-derives the md5 vote vectors AND replays the exact cosine
+    ranking. Integer dots keep every double product under 2^53, so both
+    engines' IEEE arithmetic agrees bit-for-bit, ties broken by neighbor
+    id. Queries = the doc_id % 50 slice, broadcast against the corpus
+    slice."""
+    from beats_spark import dedup as D
+    from beats_spark import similarity as SIM
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") < 400)
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+    )
+    emb = D.hash_embedding(docs, dim=64).select("doc_id", "hash_emb")
+    q = emb.where(F.col("doc_id") % 50 == 0)
+    out = SIM.cosine_topk(
+        emb, q, k=5, id_col="doc_id", vec_col="hash_emb",
+        query_id_col="doc_id",
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _SAMPLE_GATE_COND = {"has_fields": ["tool", "text"]}
 
 
@@ -5142,6 +5218,13 @@ _DRIVER_WINDOW = [
     # strip_boilerplate in-window with text_quality / gopher_filter /
     # conv_quality judge-swept right behind).
     "hash_embed",
+    # hash_embed_topk (the composed text→embedding→cosine-rank stack, the
+    # first fully-oracled ANN LISTING — learned-embedding listings are
+    # rows-only with oracled recall twins) displaces sink_cube (r4
+    # driver-green + judge r3/r4 sweeps; the rollup family keeps
+    # stage_metrics in-window and the triple-green sink_aggregates /
+    # conv_rollups flagships right behind it).
+    "hash_embed_topk",
     # the dns processor lands as a REAL operator
     # (resolver-snapshot broadcast join, enrich.dns_enrich) instead of the
     # shape-only row it was through r4 — zero driver history, so it enters
@@ -5153,7 +5236,6 @@ _DRIVER_WINDOW = [
     # decontaminate / gopher_filter / transcript_curation / asof_enrich
     # rotated out this session for the four second-session additions above
     # (each now carries r4 driver-green + judge r3/r4 sweeps).
-    "sink_cube",
     # new in round 4 (late): DSIR selection, SemDeDup, BM25, quota
     # sampling, CCNet perplexity head
     "dsir_select",

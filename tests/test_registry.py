@@ -52,13 +52,13 @@ def test_unproven_and_changed_queries_are_inside_the_window():
         # asof_enrich rotated out in the r5 second session for the four
         # newest zero-history additions below — each displaced row is r4
         # driver-green + judge r3/r4 sweeps, families retained in-window)
-        "routed_rows", "sink_cube",
+        "routed_rows",
         "chunk_documents",
         "dedup_components",
         # round-5 second-session additions, zero driver history
         "hash_split", "ngram_topk", "tfidf_keywords", "bloom_decontaminate",
         "strip_boilerplate", "containment_pairs", "sample_gate",
-        "hash_embed",
+        "hash_embed", "hash_embed_topk",
         # round-5 last additions, zero driver history: the dns processor
         # as a real operator (resolver-snapshot broadcast join) and
         # content-defined chunking. They displace conv_pattern and
@@ -92,4 +92,4 @@ def test_outside_window_only_long_green_or_rows_only():
     # container_parse / event_stamp) + dns_enrich + cdc_chunks, plus the
     # second-session additions hash_split / ngram_topk / tfidf_keywords /
     # bloom_decontaminate, all oracled)
-    assert len(names) == 114 and len(oracles) == 111
+    assert len(names) == 115 and len(oracles) == 112
