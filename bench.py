@@ -41,6 +41,33 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _cpu_stat() -> dict:
+    """Aggregate jiffies from /proc/stat's cpu line (user nice system idle
+    iowait irq softirq steal ...)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:9]]
+        return {"total": sum(vals), "idle": vals[3], "iowait": vals[4],
+                "steal": vals[7]}
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
+def _cpu_delta_pct(before: dict, after: dict) -> dict:
+    """steal/iowait as % of elapsed jiffies between two _cpu_stat reads —
+    the co-tenant signal the 1-min loadavg CANNOT see (r5 second session
+    measured 2.5x headline swings with loadavg probes reading 0.3; CPU
+    steal from the hypervisor neighbor is invisible to load average)."""
+    if not before or not after or after.get("total", 0) <= before.get("total", 0):
+        return {}
+    dt = after["total"] - before["total"]
+    return {
+        "steal_pct": round(100.0 * (after["steal"] - before["steal"]) / dt, 2),
+        "iowait_pct": round(100.0 * (after["iowait"] - before["iowait"]) / dt, 2),
+    }
+
+
 def _wait_for_quiet() -> dict:
     """Probe the 1-min loadavg BEFORE any Spark work starts and, when the
     box looks contended (co-tenant load — r4's driver sweep landed in a
@@ -215,10 +242,14 @@ def main() -> None:
     # (r4/r5 measured 2.5x swings minutes apart on identical code), so the
     # fastest rep is the least-noisy estimate of engine throughput
     heads = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3"))
+    cpu_before = _cpu_stat()
     elapsed, turns = run_headline(spark, sf_dir, replicate=replicate)
     for _ in range(max(0, heads - 1)):
         e2, _ = run_headline(spark, sf_dir, replicate=replicate)
         elapsed = min(elapsed, e2)
+    # steal/iowait over the headline reps: a high steal_pct marks the
+    # record as a degraded-host window even when loadavg reads clean
+    load["headline_cpu"] = _cpu_delta_pct(cpu_before, _cpu_stat())
     headline_only = "--headline-only" in sys.argv
     qtimes = {} if headline_only else run_queries(spark, sf_dir)
     # loadavg after the run counts our OWN task threads (a full 32-core run
