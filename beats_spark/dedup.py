@@ -314,6 +314,26 @@ def prefix_filter_jaccard_pairs(
     return _prefix_filter_pairs(base, threshold)
 
 
+def _rarest_first(base: DataFrame) -> DataFrame:
+    """Re-sort each (_id, _g: array<string>) set rarest-token-first using
+    (global count, token) as the key — the AllPairs prefix ordering. No
+    global row_number window (which would single-partition the sort at
+    scale); shared by the symmetric Jaccard join and the asymmetric
+    containment join so the ranking can never drift between them."""
+    exploded = base.select("_id", F.explode("_g").alias("g"))
+    freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
+    return (
+        exploded.join(freq, "g")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cnt"), F.col("g")))
+            ).alias("_sorted")
+        )
+        .select("_id", F.expr("transform(_sorted, x -> x.g)").alias("_g"))
+    )
+
+
 def _prefix_filter_pairs(base: DataFrame, threshold: float) -> DataFrame:
     """AllPairs/PPJoin core over a prepared (_id, _g: array<string>) frame:
     exact Jaccard pairs (id_a < id_b, jaccard ≥ threshold) with
@@ -329,23 +349,7 @@ def _prefix_filter_pairs(base: DataFrame, threshold: float) -> DataFrame:
     1k-doc oracle caps, where set construction is cheap; containment_pairs
     (uncapped corpus slice, same shape) keeps the cut because its A/B
     said 3.58→2.03 s. Re-cut if the caps are lifted."""
-    exploded = base.select("_id", F.explode("_g").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
-    # order tokens rarest-first with (cnt, g) as the key — no global
-    # row_number window (which would single-partition the sort at scale)
-    ranked = (
-        exploded.join(freq, "g")
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cnt"), F.col("g")))
-            ).alias("_sorted")
-        )
-        .select(
-            "_id",
-            F.expr("transform(_sorted, x -> x.g)").alias("_g"),
-        )
-    )
+    ranked = _rarest_first(base)
     prefixed = ranked.withColumn(
         "_prefix",
         F.expr(
@@ -971,6 +975,17 @@ FROM joined
 _BLOOM_WORD = 32
 
 
+def _bloom_grams_expr(n: int) -> "F.Column":
+    """Distinct word n-grams over a pre-split `_toks` array — ONE shared
+    expression for bloom_build and bloom_decontaminate: build/test gram
+    parity is the correctness invariant of the whole Bloom path (a drift
+    between the two would silently under-flag)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
+    )
+
+
 def bloom_positions_exprs(gram: str, m_bits: int, k_hashes: int) -> list[str]:
     """SQL expressions (Spark dialect) for the k bit positions of `gram`."""
     h1 = f"CAST(conv(substr(md5({gram}), 1, 8), 16, 10) AS BIGINT)"
@@ -991,10 +1006,9 @@ def bloom_build(
     bit_or with map-side partials); only the FINISHED bitmap — m/32 ints,
     a few KB, independent of probe size — ever reaches the driver, the
     same bounded-driver-state class as the CC convergence fingerprint."""
-    grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
-    )
+    if m_bits % _BLOOM_WORD:
+        raise ValueError(f"m_bits must be a multiple of {_BLOOM_WORD}")
+    grams = _bloom_grams_expr(n)
     pos_exprs = bloom_positions_exprs("_g", m_bits, k_hashes)
     words = (
         probe.where(F.col(text_col).isNotNull())
@@ -1023,7 +1037,6 @@ def bloom_decontaminate(
     probe: DataFrame,
     text_col: str = "text",
     probe_text_col: str = "text",
-    id_col: str = "doc_id",
     n: int = 13,
     m_bits: int = 1 << 16,
     k_hashes: int = 4,
@@ -1048,10 +1061,7 @@ def bloom_decontaminate(
     bitmap = bloom_build(probe, probe_text_col, n, m_bits, k_hashes)
     spark = df.sparkSession
     bm = spark.createDataFrame([(bitmap,)], "_bloom array<bigint>")
-    grams = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n}))))"
-    )
+    grams = _bloom_grams_expr(n)
     checks = " AND ".join(
         f"(shiftright(element_at(_bloom, CAST({p} div {_BLOOM_WORD} AS INT) + 1),"
         f" CAST({p} % {_BLOOM_WORD} AS INT)) & 1) = 1"
@@ -1187,20 +1197,9 @@ def containment_pairs(
         .select("_id", grams.alias("_g"))
         .where(F.size("_g") > 0)
     )
-    # lineage cut: base feeds the inverted-index explode (twice) and both
+    # lineage cut: base feeds the _rarest_first inverted index and both
     # exact-verify array joins — same rationale as _prefix_filter_pairs
-    exploded = base.select("_id", F.explode("_g").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count("*").alias("cnt"))
-    ranked = (
-        exploded.join(freq, "g")
-        .groupBy("_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cnt"), F.col("g")))
-            ).alias("_sorted")
-        )
-        .select("_id", F.expr("transform(_sorted, x -> x.g)").alias("_g"))
-    )
+    ranked = _rarest_first(base)
     prefixed = ranked.withColumn(
         "_prefix",
         F.expr(

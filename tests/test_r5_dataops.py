@@ -298,3 +298,50 @@ class TestHashEmbedding:
         want = hash_embedding_series(pd.Series(["hello world"]))[0]
         assert rows[1] == list(want)
         assert rows[2] == [0] * 64
+
+
+class TestReviewedEdges:
+    """Regression pins for the r5 second-session code-review findings."""
+
+    def test_fully_boilerplate_doc_matches_oracle_semantics(self, spark):
+        """A doc whose EVERY line is boilerplate must clean to '' on both
+        engines (DuckDB's array_to_string([]) is NULL — the SQL twin
+        coalesces it)."""
+        import duckdb
+
+        rows = [(i, "NAV\nFOOT") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = X.strip_boilerplate(df, min_docs=10).where("doc_id = 0").first()
+        assert got["cleaned"] == "" and got["n_removed"] == 2
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW t AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, 'NAV' || chr(10) || 'FOOT')" for i in range(12))
+            + ") v(doc_id, text)"
+        )
+        sql = X.strip_boilerplate_sql(table="t", min_docs=10)
+        r = con.execute(f"SELECT cleaned_md5 FROM ({sql}) s WHERE doc_id = 0").fetchone()
+        assert r[0] == hashlib.md5(b"").hexdigest()
+
+    def test_hash_split_single_split_sql_is_valid(self, spark):
+        import duckdb
+
+        sql = SM.hash_split_sql({"all": 1.0})
+        assert duckdb.connect().execute(f"SELECT {sql}").fetchone()[0] == "all"
+        out = SM.hash_split(
+            spark.createDataFrame([(1,)], "doc_id long"), {"all": 1.0}
+        ).first()
+        assert out["split"] == "all"
+
+    def test_hash_split_subnano_weights_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            SM._split_thresholds({"a": 1e-12, "b": 1e-12})
+
+    def test_bloom_m_bits_must_align_to_words(self, spark):
+        import pytest
+
+        probe = spark.createDataFrame([("x y z",)], "text string")
+        with pytest.raises(ValueError):
+            D.bloom_build(probe, m_bits=100)
